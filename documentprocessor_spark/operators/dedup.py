@@ -1,0 +1,230 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four families, all shuffle-conscious and all deterministic (hashes derived
+from md5, which exists identically in Spark and DuckDB — so every stage is
+oracle-checkable; Python's salted ``hash()`` is never used, cf. SURVEY.md
+§2.5 H13):
+
+- exact:     sha2-256 content groups → canonical (min id) per group.
+- MinHash:   word-shingles → k independent min-hashes (min over md5 of a
+             seed-prefixed shingle) → banded LSH bucket join → candidate
+             pairs. The band join is the classic sub-quadratic near-dup
+             path; AQE skew-join handles hot buckets.
+- SimHash:   per-token md5-derived bit votes → fixed-width signature;
+             hamming-adjacent signatures are near-dups.
+- n-gram Jaccard: shared-shingle join with document-frequency capping (stop
+             shingles dropped) → exact Jaccard on candidates only.
+
+Scale notes (100 TB): every join here is equi-join on a hash/bucket key —
+shuffle-partitionable, no cross join anywhere; the DF cap bounds the shared-
+shingle join's worst key; signatures are tiny (k×32-hex) relative to text,
+so the wide text column is dropped before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_SHINGLE_N = 3
+DEFAULT_MINHASH_K = 8
+DEFAULT_BAND_ROWS = 2
+DEFAULT_DF_CAP = 50          # drop shingles present in more docs than this
+SIMHASH_BITS = 16
+
+
+def shingles_col(text: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of `text` (native, codegen'd):
+    transform over a sequence of start offsets + slice + concat."""
+    toks = F.split(text, " ")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str,
+                 n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    """Long (id, shingle) pairs; text column dropped before the explode so
+    the shuffle payload is just id+shingle."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  shingles_col(F.col(text_col), n).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, canonical_id, group_size): canonical = min id per sha2 group.
+
+    One shuffle on the 64-hex digest; group_size>1 marks duplicates.
+    """
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h)
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = DEFAULT_MINHASH_K,
+                       n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    """(doc_id, seed, minhash): k independent min-hashes per document.
+
+    h_seed(s) = md5(seed || ':' || s); the minimum hex digest per seed is a
+    valid MinHash (lexicographic min of the hex string = numeric min of the
+    128-bit value). Entirely portable across Spark/DuckDB.
+
+    Plan shape: explode(shingles) → single groupBy(doc_id) with k min()
+    aggregates — one shuffle, map-side partial aggregation does the heavy
+    lifting.
+    """
+    pairs = doc_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
+        for seed in range(k)
+    ]
+    wide = pairs.groupBy("doc_id").agg(*aggs)
+    stacked = F.array(
+        *[
+            F.struct(F.lit(seed).alias("seed"), F.col(f"mh{seed}").alias("minhash"))
+            for seed in range(k)
+        ]
+    )
+    return wide.select("doc_id", F.explode(stacked).alias("s")).select(
+        "doc_id", "s.seed", "s.minhash"
+    )
+
+
+def minhash_bands(signatures: DataFrame, band_rows: int = DEFAULT_BAND_ROWS) -> DataFrame:
+    """(doc_id, band, band_hash): concat `band_rows` consecutive minhashes.
+    Docs sharing any (band, band_hash) are LSH candidates."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / F.lit(band_rows)).cast("int")
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias(
+            "band_hash"
+        )
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            k: int = DEFAULT_MINHASH_K,
+                            band_rows: int = DEFAULT_BAND_ROWS,
+                            n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    """(doc_a, doc_b, shared_bands) for doc_a < doc_b — the LSH bucket join.
+
+    Equi-join on (band, band_hash); AQE skew-join splits hot buckets.
+    """
+    bands = minhash_bands(minhash_signatures(df, id_col, text_col, k, n), band_rows)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = DEFAULT_SHINGLE_N,
+                        threshold: float = 0.5,
+                        df_cap: int = DEFAULT_DF_CAP) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with Jaccard >= threshold.
+
+    Exact Jaccard via the shared-shingle equi-join:
+        J = |A∩B| / (|A| + |B| − |A∩B|)
+    Document-frequency capping drops shingles shared by > df_cap documents
+    before the join — the standard stop-shingle cut that keeps the worst
+    join key bounded at corpus scale (silently-capped coverage is reported
+    by the caller's metrics, not hidden: extremely common shingles carry no
+    near-dup signal).
+    """
+    pairs = doc_shingles(df, id_col, text_col, n)
+    sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        pairs.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    filtered = pairs.join(rare, "shingle")
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Portable SimHash: bit j's vote per token = +1 if the first hex char of
+    md5(j || ':' || token) is in 0-7, else −1; bit set iff the sum > 0.
+
+    Uses only md5/substr/CASE so Spark and DuckDB agree exactly. The
+    signature packs into a BIGINT.
+    """
+    toks = F.split(text, " ")
+
+    def _vote_fn(j: int):
+        def _fn(acc, t):
+            return acc + F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), t)), 1, 1).isin(
+                    *"01234567"
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+
+        return _fn
+
+    bit_terms = []
+    for j in range(bits):
+        vote = F.aggregate(toks, F.lit(0), _vote_fn(j))
+        bit_terms.append(F.when(vote > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str,
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col), bits).alias("simhash")
+    )

@@ -1,0 +1,143 @@
+"""Arrow-batched field-extraction operator.
+
+The per-document heuristic fold (vendor/date/total/subtotal/tax/currency/
+line-items, SURVEY.md §2.5 H1-H9) is NOT a clean fit for native SQL: the
+line-clustering anchor rule (field_extractor.py:283-325) and first-match-wins
+keyword windows are sequential per-document scans. Per SURVEY.md §7.4 we run
+the exact pure-Python kernel (``reference_semantics``) inside a pandas UDF —
+Arrow-batched, ~thousands of documents per batch, zero per-row Python
+dispatch at the Spark layer. Each document is a few hundred words, so the
+per-doc fold is microseconds; the batch amortizes all serialization.
+
+Native-SQL variants of the SQL-expressible sub-operators (H1 vendor, H5
+currency, O4 normalize, O5 raw text) live in ``functions.boxes`` and are
+cross-checked against this kernel in the test suite.
+
+Failure semantics follow the reference (receipt_processor.py:221-225): a
+document that throws yields status='failed' + error message — never a failed
+task.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .. import reference_semantics as ref
+from ..schemas import FIELDS, SCALAR_FIELDS
+
+EXTRACT_STRUCT = StructType(
+    [
+        StructField("extracted_text", StringType(), True),
+        *FIELDS.fields,
+        StructField("status", StringType(), False),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def _to_tuples(words) -> list[tuple]:
+    if words is None:
+        return []
+    return [
+        (
+            w["text"],
+            int(w["x0"]),
+            int(w["y0"]),
+            int(w["x1"]),
+            int(w["y1"]),
+            float(w["confidence"]),
+        )
+        for w in words
+    ]
+
+
+def _extract_one(words) -> dict:
+    tuples = _to_tuples(words)
+    try:
+        fields = ref.extract_fields(tuples)
+        return {
+            "extracted_text": ref.raw_text(tuples),
+            **fields,
+            "status": "done",
+            "error": None,
+        }
+    except Exception as e:  # per-document failure, reference-style
+        return {
+            "extracted_text": None,
+            **{name: None for name in SCALAR_FIELDS},
+            "line_items": [],
+            "status": "failed",
+            "error": str(e),
+        }
+
+
+@pandas_udf(EXTRACT_STRUCT)
+def extract_fields_udf(words_series: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([_extract_one(words) for words in words_series])
+
+
+def normalize_words_udf_factory():
+    """Pure-Python normalization kernel (O4) as a pandas UDF — used only for
+    cross-checking the native `functions.boxes.normalize_words_col` path."""
+    from ..schemas import WORD
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    schema = ArrayType(WORD)
+
+    @pandas_udf(schema)
+    def _norm(words: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        out = []
+        for w, wd, ht in zip(words, width, height):
+            normed = ref.normalize_words(_to_tuples(w), int(wd), int(ht))
+            out.append(
+                [
+                    {
+                        "text": t,
+                        "x0": x0,
+                        "y0": y0,
+                        "x1": x1,
+                        "y1": y1,
+                        "confidence": c,
+                    }
+                    for (t, x0, y0, x1, y1, c) in normed
+                ]
+            )
+        return pd.Series(out)
+
+    return _norm
+
+
+def attach_extraction(df: DataFrame, words_col: str = "words") -> DataFrame:
+    """Append extraction output columns to a DataFrame with an array<WORD>
+    column. One shuffle-free projection stage."""
+    out = df.withColumn("_ex", extract_fields_udf(F.col(words_col)))
+    for name in ("extracted_text", *SCALAR_FIELDS, "line_items", "status", "error"):
+        out = out.withColumn(name, F.col(f"_ex.{name}"))
+    return out.drop("_ex")
+
+
+def words_long_to_arrays(words_long: DataFrame) -> DataFrame:
+    """(url, page_number, word_pos, text, box, conf) long rows →
+    (url, words array<WORD>) in reading order.
+
+    Multi-page documents concatenate pages in page order, matching the
+    reference's all_words.extend loop (receipt_processor.py:156-196). The
+    sort key is encoded into a single struct so `sort_array` needs no
+    second shuffle.
+    """
+    word_struct = F.struct(
+        F.col("page_number"),
+        F.col("word_pos"),
+        F.struct("text", "x0", "y0", "x1", "y1", "confidence").alias("w"),
+    )
+    return (
+        words_long.groupBy("url")
+        .agg(F.sort_array(F.collect_list(word_struct)).alias("ordered"))
+        .select(
+            "url", F.transform(F.col("ordered"), lambda s: s["w"]).alias("words")
+        )
+    )

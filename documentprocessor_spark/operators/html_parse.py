@@ -1,0 +1,151 @@
+"""Stage 1: HTML bytes → word stream (the webtext analog of the reference's
+preprocessing + OCR stages, SURVEY.md §2.2-2.3).
+
+A deterministic, dependency-free tokenizer built on the stdlib HTMLParser:
+
+1. script/style/noscript content is dropped (P3-analog noise removal);
+2. the DOM is segmented into text blocks at block-level tag boundaries;
+3. boilerplate is stripped with two signals — container tags
+   (nav/header/footer/aside) and per-block link density > 1/3 — the
+   Boilerpipe-style text-density classification the north_star calls for;
+4. surviving blocks become lines; the shared layout model
+   (``documentprocessor_spark.layout``) assigns deterministic pseudo-boxes,
+   giving downstream geometry heuristics the same input shape the
+   reference's OCR produces (ocr_engine.py:145-149).
+
+Vectorization: one pandas UDF over the binary html column — per-document
+pure Python inside an Arrow batch, no per-row Spark dispatch (BASELINE.json
+input_hint: "no per-row Python").
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType
+
+from ..layout import layout_words
+from ..schemas import WORD
+
+BLOCK_TAGS = frozenset(
+    "p div li h1 h2 h3 h4 h5 h6 td th tr table ul ol main article section "
+    "blockquote pre br hr form".split()
+)
+SKIP_TAGS = frozenset(("script", "style", "noscript", "svg", "template", "title"))
+BOILER_CONTAINERS = frozenset(("nav", "header", "footer", "aside"))
+MAX_LINK_DENSITY = 1.0 / 3.0
+
+
+class _BlockCollector(HTMLParser):
+    """Segments character data into blocks with per-block anchor-char counts."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int, int, bool]] = []
+        self._buf: list[str] = []
+        self._anchor_chars = 0
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._anchor_depth = 0
+
+    def _flush(self):
+        text = " ".join("".join(self._buf).split())
+        if text:
+            self.blocks.append(
+                (text, self._anchor_chars, len("".join(self._buf)),
+                 self._boiler_depth > 0)
+            )
+        self._buf = []
+        self._anchor_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+        if tag in BLOCK_TAGS or tag in BOILER_CONTAINERS:
+            self._flush()
+        if tag in BOILER_CONTAINERS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._anchor_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS and self._skip_depth:
+            self._skip_depth -= 1
+        if tag in BLOCK_TAGS or tag in BOILER_CONTAINERS:
+            self._flush()
+        if tag in BOILER_CONTAINERS and self._boiler_depth:
+            self._boiler_depth -= 1
+        if tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        self._buf.append(data)
+        if self._anchor_depth:
+            self._anchor_chars += len(data)
+
+
+def extract_content_lines(html: bytes | str) -> list[str]:
+    """HTML → boilerplate-stripped content lines, document order."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    collector = _BlockCollector()
+    try:
+        collector.feed(html)
+        collector.close()
+    except Exception:
+        pass  # malformed markup: keep whatever was collected (never fail a row)
+    collector._flush()
+    lines = []
+    for text, anchor_chars, total_chars, in_boiler in collector.blocks:
+        if in_boiler:
+            continue
+        if total_chars and anchor_chars / total_chars > MAX_LINK_DENSITY:
+            continue
+        lines.append(text)
+    return lines
+
+
+def html_to_words(html: bytes | str) -> list[dict]:
+    """HTML → word dicts with deterministic layout-model boxes."""
+    return [
+        {"text": t, "x0": x0, "y0": y0, "x1": x1, "y1": y1, "confidence": c}
+        for (t, x0, y0, x1, y1, c) in layout_words(extract_content_lines(html))
+    ]
+
+
+def text_to_words(text: str) -> list[dict]:
+    """Pre-extracted text → words (one line; layout model supplies geometry)."""
+    if not text:
+        return []
+    return [
+        {"text": t, "x0": x0, "y0": y0, "x1": x1, "y1": y1, "confidence": c}
+        for (t, x0, y0, x1, y1, c) in layout_words([text])
+    ]
+
+
+@pandas_udf(ArrayType(WORD))
+def parse_words_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    """Batched stage-1 kernel: html bytes (or pre-extracted text when html is
+    null) → array<WORD>."""
+    out = []
+    for h, t in zip(html, text):
+        if h is not None:
+            out.append(html_to_words(h))
+        elif t is not None:
+            out.append(text_to_words(t))
+        else:
+            out.append([])
+    return pd.Series(out)
+
+
+def parse_pages(pages: DataFrame, html_col: str = "html", text_col: str = "text") -> DataFrame:
+    """Append a `words` array<WORD> column to a pages DataFrame."""
+    return pages.withColumn(
+        "words", parse_words_udf(F.col(html_col), F.col(text_col))
+    )

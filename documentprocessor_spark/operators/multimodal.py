@@ -1,0 +1,140 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched kernels.
+
+This is the Spark-side realization of the reference's image path (load →
+preprocess → OCR, SURVEY.md §2.1-2.3) generalized to any modality. The
+container has no image/audio codecs, so the DECODE KERNELS ARE STUBS — a
+deterministic fake decoder gated behind ``allow_fake=True`` (for tests) or a
+clearly-marked NotImplementedError — but the Spark plumbing is real and
+tested: schema, batch shape, UDF signatures, partition sizing.
+
+Real-deployment swap: replace ``_decode_image_stub`` with a PIL/cv2 call
+inside the same ``mapInPandas`` iterator; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+IMAGE_FEATURES = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("histogram", ArrayType(DoubleType()), True),
+        StructField("status", StringType(), False),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decoder: payload bytes tile into an HxWx3 uint8
+    array. Replaces PIL.Image.open (reference: Ocr/src/cli/utils.py:98-117)
+    in this codec-free container; byte-identical across runs."""
+    if not payload:
+        raise ValueError("empty payload")
+    flat = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height * 3
+    reps = -(-need // len(flat))
+    return np.tile(flat, reps)[:need].reshape(height, width, 3)
+
+
+def image_feature_kernel(batches: Iterator[pd.DataFrame],
+                         allow_fake: bool = True) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: MEDIA rows → IMAGE_FEATURES rows.
+
+    Per-row failure becomes a status/error pair (never a task failure),
+    matching the reference's per-document error contract
+    (receipt_processor.py:221-225).
+    """
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            try:
+                if not allow_fake:
+                    raise NotImplementedError(
+                        "real image decode requires PIL/cv2 — not in this container"
+                    )
+                img = _decode_image_stub(
+                    r.payload, int(r.width or 32), int(r.height or 32)
+                )
+                luma = (
+                    0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+                )
+                hist, _ = np.histogram(luma, bins=8, range=(0, 255))
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "n_bytes": len(r.payload or b""),
+                        "mean_luma": round(float(luma.mean()), 6),
+                        "histogram": (hist / max(1, luma.size)).round(6).tolist(),
+                        "status": "done",
+                        "error": None,
+                    }
+                )
+            except Exception as e:
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "n_bytes": len(r.payload or b""),
+                        "mean_luma": None,
+                        "histogram": None,
+                        "status": "failed",
+                        "error": str(e),
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+def extract_image_features(media: DataFrame, allow_fake: bool = True) -> DataFrame:
+    """Distributed image feature extraction over a MEDIA-shaped DataFrame."""
+    cols = ["media_id", "payload", "width", "height"]
+    return media.select(*cols).mapInPandas(
+        lambda it: image_feature_kernel(it, allow_fake=allow_fake),
+        schema=IMAGE_FEATURES,
+    )
+
+
+def synthetic_media(spark, n: int = 16) -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    rows = [
+        (
+            f"media-{i}",
+            "image",
+            bytes([(i * 37 + j) % 256 for j in range(64)]),
+            "image/fake",
+            16 + (i % 4) * 8,
+            16 + (i % 3) * 8,
+            None,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA)

@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline. The
+  (small) query set is broadcast; the corpus side streams, so the plan is
+  scan → broadcast-nested-loop → per-query top-k window. Dot products run
+  as native ``aggregate(zip_with(...))`` expressions — JVM-side, no Python.
+- ``lsh_bucketed_topk``: the scale path — sign-random-projection LSH using
+  deterministic md5-derived hyperplanes. Corpus and queries hash to buckets;
+  the join is an equi-join on the bucket key, so at 10^9 vectors the
+  candidate set per query is a few buckets, not the corpus. Recall<1 by
+  construction (probing multiple tables restores it).
+- ``embedding_near_dup_pairs``: near-duplicate pairs by cosine >= threshold,
+  LSH-bucketed to avoid the quadratic cross join.
+
+Hyperplanes are derived from md5 — no RNG state, fully reproducible across
+runs and engines (SURVEY.md §2.5 H13's determinism rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_K = 10
+DEFAULT_LSH_BITS = 8
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = DEFAULT_K,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, cosine, rank).
+
+    Self-matches (query_id == vec_id) are excluded. Ties broken by vec_id so
+    the result is fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(bit: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5(bit, component) parity."""
+    return [
+        1.0
+        if int(hashlib.md5(f"{bit}:{j}".encode()).hexdigest()[0], 16) < 8
+        else -1.0
+        for j in range(dim)
+    ]
+
+
+def lsh_bucket_col(vec: Column, dim: int, bits: int = DEFAULT_LSH_BITS) -> Column:
+    """Sign-random-projection bucket id in [0, 2^bits)."""
+    acc = F.lit(0)
+    for bit in range(bits):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(bit, dim)])
+        acc = acc + F.when(dot_col(vec, plane) > 0, F.lit(2 ** bit)).otherwise(
+            F.lit(0)
+        )
+    return acc
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                      k: int = DEFAULT_K, bits: int = DEFAULT_LSH_BITS,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("bucket", lsh_bucket_col(F.col("cvec"), dim, bits))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("bucket", lsh_bucket_col(F.col("qvec"), dim, bits))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.95,
+                             bits: int = DEFAULT_LSH_BITS,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """(vec_a, vec_b, cosine) with cosine >= threshold, bucketed by LSH so the
+    pair join is an equi-join on bucket, never a full cross product."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket_col(F.col("v"), dim, bits))
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )

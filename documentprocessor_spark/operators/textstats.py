@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines over a documents
+table: token counting, language-ID heuristic, quality scoring, and document
+fingerprinting.
+
+All expressions are native ``pyspark.sql.functions`` (JVM-side, codegen'd —
+no Python in the hot path) and are defined with exact DuckDB-SQL oracle
+equivalents in ``__spark_entry__.py``. Functions deliberately use only
+dialect-portable primitives (split on a literal, length, md5, list filter)
+so the oracle comparison is byte-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal deterministic stopword inventories for the language-ID heuristic.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that",
+)
+DE_STOPWORDS = (
+    "der", "die", "das", "und", "oder", "von", "zu", "im", "ist", "es",
+    "für", "auf", "mit", "als", "bei", "dies", "ein", "eine",
+)
+FR_STOPWORDS = (
+    "le", "la", "les", "et", "ou", "de", "à", "dans", "est", "il",
+    "pour", "sur", "avec", "comme", "par", "ce", "un", "une",
+)
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization. `split` on a single space matches DuckDB's
+    string_split for the space-joined corpora used here."""
+    return F.split(text, " ")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def _stopword_hits(tokens: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*stopwords)))
+
+
+def lang_id_col(text: Column) -> Column:
+    """Argmax of stopword hit-counts over en/de/fr inventories; 'und'
+    (undetermined) when no list scores a hit. Deterministic tie-break:
+    en > de > fr (fixed comparison order)."""
+    toks = tokens_col(text)
+    en = _stopword_hits(toks, EN_STOPWORDS)
+    de = _stopword_hits(toks, DE_STOPWORDS)
+    fr = _stopword_hits(toks, FR_STOPWORDS)
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_score_col(text: Column) -> Column:
+    """Deterministic [0,1] quality score: mix of alphabetic-character ratio
+    and stopword ratio (training-data pipelines drop low scorers). Rounded to
+    6 dp so float comparison with the oracle is exact."""
+    toks = tokens_col(text)
+    n_tok = F.size(toks).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    total = F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    stop_ratio = _stopword_hits(toks, EN_STOPWORDS).cast("double") / F.greatest(
+        n_tok, F.lit(1.0)
+    )
+    return F.round(0.5 * (alpha / total) + 0.5 * stop_ratio, 6)
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase text.
+    (The rolling-hash variant lives in dedup.simhash_col.)"""
+    normalized = F.lower(F.regexp_replace(text, "\\s+", " "))
+    return F.md5(normalized)
+
+
+def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all text-stat columns in one codegen'd projection."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("token_count", token_count_col(t))
+        .withColumn("lang_id", lang_id_col(t))
+        .withColumn("quality_score", quality_score_col(t))
+        .withColumn("fingerprint", fingerprint_col(t))
+    )

@@ -1,0 +1,358 @@
+"""Pure-Python, dependency-free reimplementation of the reference's
+deterministic extraction semantics.
+
+This module is the *semantic contract* of the engine: it is used both to
+generate golden outputs for the pytest byte-identity suite and as the
+per-document kernel inside the Arrow-batched extraction UDF
+(``documentprocessor_spark.operators.extract``).
+
+The authoritative behaviour is the path the reference's own unit tests pin
+(``/root/reference/Ocr/tests/test_cli_unit.py:275-367`` →
+``receipt_processor.extract_fields_heuristic`` →
+``ReceiptProcessor.postprocess_results(None, words)``):
+
+- box normalization: ``receipt_processor.py:262-299`` (int-truncation to a
+  0-1000 model space, clamped)
+- raw text: ``receipt_processor.py:175`` (space-join in OCR order)
+- vendor:   ``postprocessing/field_extractor.py:88-134`` (top-3 by y0,
+  stable sort)
+- total:    ``postprocessing/field_extractor.py:136-174`` (keyword → forward
+  window of 5, Decimal-parsed amount, zero-amount skipped by truthiness)
+- date:     ``receipt_processor.py:418-447`` (regex cascade over the joined
+  text, first containing/contained word supplies confidence+box)
+- subtotal: ``receipt_processor.py:449-472`` (keyword → window [-2, +4])
+- tax:      ``receipt_processor.py:474-497`` (same window, keywords
+  tax/vat/gst/hst)
+- currency: ``receipt_processor.py:499-510`` (USD/EUR/GBP only on this path)
+- line items: ``postprocessing/field_extractor.py:176-325`` (y-proximity
+  line clustering with first-word anchor, price/quantity classification)
+
+Known reference divergences between entry points (SURVEY.md §8) are resolved
+in favour of this path; the ``commands.py`` variants (wider currency set,
+tax-box y0 quirk) are NOT reproduced.
+
+Words are represented as plain tuples ``(text, x0, y0, x1, y1, confidence)``
+in OCR order — flat and Arrow-friendly, unlike the reference's dict rows.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal, InvalidOperation
+
+# --- regexes / keyword tables (the semantic surface; values must not drift) ---
+
+AMOUNT_RE = re.compile(r"\$?\s*(\d{1,3}(?:,\d{3})*(?:\.\d{2})?)")
+DATE_PATTERNS = [
+    re.compile(r"(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", re.IGNORECASE),
+    re.compile(r"(\d{4}[/-]\d{1,2}[/-]\d{1,2})", re.IGNORECASE),
+    re.compile(
+        r"((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{1,2},? \d{4})",
+        re.IGNORECASE,
+    ),
+]
+PRICE_FULLMATCH_RE = re.compile(r"^\$?\d{1,3}(?:,\d{3})*(?:\.\d{2})?$")
+QUANTITY_RE = re.compile(r"^(\d+)x?$|^x(\d+)$", re.IGNORECASE)
+
+TOTAL_KEYWORDS = ("total", "grand", "amount", "due", "balance")
+SUBTOTAL_KEYWORDS = ("subtotal", "sub total", "sub-total")
+TAX_KEYWORDS = ("tax", "vat", "gst", "hst")
+LINE_SKIP_KEYWORDS = (
+    "total", "subtotal", "tax", "change", "cash", "credit",
+    "card", "visa", "mastercard", "thank", "receipt", "store",
+)
+
+LINE_Y_THRESHOLD = 20
+VENDOR_TOP_K = 3
+NORM_SCALE = 1000
+
+# word tuple field offsets
+TEXT, X0, Y0, X1, Y1, CONF = range(6)
+
+
+def normalize_box(x0, y0, x1, y1, width, height, scale=NORM_SCALE):
+    """0-``scale`` model-space box via int() truncation + clamp.
+
+    Matches /root/reference/Ocr/src/receipt_processor.py:262-299 exactly
+    (truncation, not rounding; clamp after scaling).
+    """
+    coords = (
+        int(x0 * scale / width),
+        int(y0 * scale / height),
+        int(x1 * scale / width),
+        int(y1 * scale / height),
+    )
+    return tuple(max(0, min(scale, c)) for c in coords)
+
+
+def normalize_words(words, width, height, scale=NORM_SCALE):
+    """Normalize every word's box; text/confidence pass through unchanged."""
+    out = []
+    for w in words:
+        b = normalize_box(w[X0], w[Y0], w[X1], w[Y1], width, height, scale)
+        out.append((w[TEXT], b[0], b[1], b[2], b[3], w[CONF]))
+    return out
+
+
+def raw_text(words):
+    """Space-joined text in OCR order (/root/reference .../receipt_processor.py:175).
+
+    This is the byte-identity invariant per url.
+    """
+    return " ".join(w[TEXT] for w in words)
+
+
+def _parse_amount(text):
+    """Decimal amount or None; commas stripped.
+
+    Matches FieldExtractor.extract_amount (field_extractor.py:42-60).
+    """
+    m = AMOUNT_RE.search(text)
+    if not m:
+        return None
+    try:
+        return Decimal(m.group(1).replace(",", ""))
+    except InvalidOperation:
+        return None
+
+
+def _field(value, confidence, box):
+    return {"value": value, "confidence": confidence, "box": box}
+
+
+def _box_dict(x0, y0, x1, y1):
+    return {"x0": x0, "y0": y0, "x1": x1, "y1": y1}
+
+
+def extract_vendor(words):
+    """Top-3 words by y0 (stable sort), space-joined; mean confidence;
+    envelope box. field_extractor.py:88-134."""
+    if not words:
+        return None
+    top = sorted(words, key=lambda w: w[Y0])[:VENDOR_TOP_K]
+    return _field(
+        " ".join(w[TEXT] for w in top),
+        sum(w[CONF] for w in top) / len(top),
+        _box_dict(
+            min(w[X0] for w in top),
+            min(w[Y0] for w in top),
+            max(w[X1] for w in top),
+            max(w[Y1] for w in top),
+        ),
+    )
+
+
+def extract_total(words):
+    """First keyword word → first *truthy* Decimal amount in words[i:i+5).
+
+    field_extractor.py:136-174. Note the reference's ``if amount:`` — a
+    parsed 0/0.00 is skipped. Value is str(Decimal), so "07.50" → "7.50".
+    """
+    for i, w in enumerate(words):
+        low = w[TEXT].lower()
+        if any(k in low for k in TOTAL_KEYWORDS):
+            for j in range(i, min(i + 5, len(words))):
+                amount = _parse_amount(words[j][TEXT])
+                if amount:
+                    wj = words[j]
+                    return _field(
+                        str(amount), wj[CONF],
+                        _box_dict(wj[X0], wj[Y0], wj[X1], wj[Y1]),
+                    )
+    return None
+
+
+def _extract_windowed_amount(words, keywords):
+    """Keyword at i → first regex amount in words[max(0,i-2):i+5).
+
+    receipt_processor.py:449-497 (subtotal/tax). Unlike extract_total the
+    value is the raw regex group with commas stripped (no Decimal), and a
+    "0" match is kept (no truthiness filter).
+    """
+    for i, w in enumerate(words):
+        low = w[TEXT].lower()
+        if any(k in low for k in keywords):
+            for j in range(max(0, i - 2), min(len(words), i + 5)):
+                m = AMOUNT_RE.search(words[j][TEXT])
+                if m:
+                    wj = words[j]
+                    return _field(
+                        m.group(1).replace(",", ""), wj[CONF],
+                        _box_dict(wj[X0], wj[Y0], wj[X1], wj[Y1]),
+                    )
+    return None
+
+
+def extract_subtotal(words):
+    return _extract_windowed_amount(words, SUBTOTAL_KEYWORDS)
+
+
+def extract_tax(words):
+    return _extract_windowed_amount(words, TAX_KEYWORDS)
+
+
+def extract_date(words):
+    """Regex cascade over the joined text; the first word whose text contains
+    or is contained by the match supplies confidence and box.
+
+    receipt_processor.py:418-447. All three patterns search case-insensitively
+    on this path.
+    """
+    full = raw_text(words)
+    for pat in DATE_PATTERNS:
+        m = pat.search(full)
+        if not m:
+            continue
+        date_str = m.group(1)
+        for w in words:
+            if date_str in w[TEXT] or w[TEXT] in date_str:
+                return _field(
+                    date_str, w[CONF], _box_dict(w[X0], w[Y0], w[X1], w[Y1])
+                )
+    return None
+
+
+def detect_currency(words):
+    """USD/EUR/GBP substring detection over the joined text; box is null.
+
+    receipt_processor.py:499-510 — deliberately NOT the wider commands.py set.
+    """
+    full = raw_text(words)
+    if "$" in full or "USD" in full:
+        return _field("USD", 0.9, None)
+    if "€" in full or "EUR" in full:
+        return _field("EUR", 0.9, None)
+    if "£" in full or "GBP" in full:
+        return _field("GBP", 0.9, None)
+    return None
+
+
+def group_lines(words, y_threshold=LINE_Y_THRESHOLD):
+    """Cluster words into visual lines.
+
+    field_extractor.py:283-325: sort by (y0, x0); a word joins the current
+    line iff |y0 - anchor_y0| <= threshold where the anchor is the line's
+    FIRST word (not the previous word — a lag-based sessionization is NOT
+    equivalent); each finished line is re-sorted by x0.
+    """
+    if not words:
+        return []
+    ordered = sorted(words, key=lambda w: (w[Y0], w[X0]))
+    lines = []
+    current = [ordered[0]]
+    anchor_y = ordered[0][Y0]
+    for w in ordered[1:]:
+        if abs(w[Y0] - anchor_y) <= y_threshold:
+            current.append(w)
+        else:
+            lines.append(sorted(current, key=lambda x: x[X0]))
+            current = [w]
+            anchor_y = w[Y0]
+    lines.append(sorted(current, key=lambda x: x[X0]))
+    return lines
+
+
+def extract_line_items(words):
+    """Per-line item parse. field_extractor.py:176-281.
+
+    Per line of >=2 words, skipping lines containing any stop keyword:
+    classify each word — full-match price (1st → line_total; 2nd shifts the
+    1st into unit_price), quantity ``2x``/``x2``, else description. Derive
+    the missing price via round(·, 2) arithmetic. Emit only if a description
+    and at least one price were found.
+    """
+    items = []
+    for line in group_lines(words):
+        if len(line) < 2:
+            continue
+        line_text = " ".join(w[TEXT] for w in line).lower()
+        if any(k in line_text for k in LINE_SKIP_KEYWORDS):
+            continue
+        desc_parts = []
+        quantity = None
+        unit_price = None
+        line_total = None
+        for w in line:
+            text = w[TEXT].strip()
+            if PRICE_FULLMATCH_RE.match(text):
+                value = float(text.replace("$", "").replace(",", ""))
+                if line_total is None:
+                    line_total = value
+                elif unit_price is None:
+                    unit_price = line_total
+                    line_total = value
+            else:
+                qm = QUANTITY_RE.match(text)
+                if qm:
+                    quantity = int(qm.group(1) or qm.group(2))
+                else:
+                    desc_parts.append(text)
+        if not desc_parts or (line_total is None and unit_price is None):
+            continue
+        if unit_price is None and quantity and line_total:
+            unit_price = round(line_total / quantity, 2)
+        elif unit_price is None:
+            unit_price = line_total
+        if line_total is None and quantity and unit_price:
+            line_total = round(unit_price * quantity, 2)
+        elif line_total is None:
+            line_total = unit_price
+        items.append(
+            {
+                "description": " ".join(desc_parts),
+                "quantity": quantity or 1,
+                "unit_price": unit_price,
+                "line_total": line_total,
+                "box": _box_dict(
+                    min(w[X0] for w in line),
+                    min(w[Y0] for w in line),
+                    max(w[X1] for w in line),
+                    max(w[Y1] for w in line),
+                ),
+                "confidence": sum(w[CONF] for w in line) / len(line),
+            }
+        )
+    return items
+
+
+def extract_fields(words):
+    """Full heuristic field extraction for one document — the golden surface.
+
+    Equivalent to ReceiptProcessor.postprocess_results(None, words)
+    (receipt_processor.py:362-416, heuristic branch). merchant_address is
+    always None on this path.
+    """
+    return {
+        "vendor_name": extract_vendor(words),
+        "date": extract_date(words),
+        "total_amount": extract_total(words),
+        "subtotal": extract_subtotal(words),
+        "tax_amount": extract_tax(words),
+        "currency": detect_currency(words),
+        "merchant_address": None,
+        "line_items": extract_line_items(words),
+    }
+
+
+def verify_totals(subtotal, tax, total, tolerance=Decimal("0.02")):
+    """abs((subtotal+tax) - total) <= 0.02 with all-present requirement.
+
+    field_extractor.py:327-359 (exposed as a data-quality metric column).
+    """
+    if not all([subtotal, tax, total]):
+        return False
+    return abs((subtotal + tax) - total) <= tolerance
+
+
+def process_document(words, width=None, height=None):
+    """Single-document pipeline: optional normalize → raw text → fields.
+
+    Mirrors the per-page body of process_receipt (receipt_processor.py:156-219):
+    raw text is joined from the PRE-normalization word order (text identical),
+    fields are extracted over NORMALIZED words when dims are given.
+    """
+    text = raw_text(words)
+    if width and height:
+        words = normalize_words(words, width, height)
+    fields = extract_fields(words)
+    return {"extracted_text": text, "words": words, **fields}

@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The confs here are the ones that matter at 100 TB / 1000 executors, applied
+identically in local[] test mode so plans exercised by tests are the plans
+shipped: AQE (runtime partition coalescing + skew-join splitting), Arrow
+batching for the pandas-UDF extraction kernels, and a shuffle-partition
+count that callers override per environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Batches of html/binary columns should stay ~tens of MB (SURVEY.md §7.4):
+# 2k rows of ~10 KB pages ≈ 20 MB per Arrow batch.
+ARROW_BATCH_ROWS = "2048"
+
+
+def get_spark(
+    app_name: str = "documentprocessor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_BATCH_ROWS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

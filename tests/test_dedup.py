@@ -1,0 +1,83 @@
+"""Dedup operators: exact groups, MinHash/LSH, SimHash, n-gram Jaccard —
+verified against straightforward Python-set computations."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from documentprocessor_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),        # near dup
+    (4, "completely different content about spark engines"),
+    (5, "spark engines process completely different content"),
+    (6, "the quick brown fox jumps over the lazy dog today"),    # near dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def py_shingles(text, n=3):
+    toks = text.split(" ")
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(docs_df):
+    got = {r["doc_id"]: r.asDict() for r in
+           dedup.exact_duplicates(docs_df, "doc_id", "text").collect()}
+    assert got[1]["canonical_id"] == 1 and got[1]["group_size"] == 2
+    assert got[2]["canonical_id"] == 1 and got[2]["group_size"] == 2
+    assert got[3]["canonical_id"] == 3 and got[3]["group_size"] == 1
+
+
+def test_minhash_signature_matches_python(docs_df):
+    sigs = dedup.minhash_signatures(docs_df, "doc_id", "text", k=4)
+    got = {(r["doc_id"], r["seed"]): r["minhash"] for r in sigs.collect()}
+    for doc_id, text in DOCS:
+        for seed in range(4):
+            expected = min(
+                hashlib.md5(f"{seed}:{s}".encode()).hexdigest()
+                for s in py_shingles(text)
+            )
+            assert got[(doc_id, seed)] == expected, (doc_id, seed)
+
+
+def test_minhash_exact_dups_share_all_bands(docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_bands"]
+        for r in dedup.minhash_candidate_pairs(
+            docs_df, "doc_id", "text", k=8, band_rows=2
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 4  # identical docs collide in every band
+    # near-dups share at least one band; unrelated docs 4 vs 1 share none
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_values(docs_df):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", threshold=0.2, df_cap=50
+        ).collect()
+    }
+    a, b = py_shingles(DOCS[0][1]), py_shingles(DOCS[2][1])
+    expected = round(len(a & b) / len(a | b), 6)
+    assert got[(1, 3)] == expected
+    assert got[(1, 2)] == 1.0
+
+
+def test_simhash_deterministic_and_near(docs_df):
+    got = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash_table(docs_df, "doc_id", "text", bits=16).collect()}
+    assert got[1] == got[2]  # identical text, identical signature
+    assert 0 <= got[1] < 2 ** 16
+    ham_near = bin(got[1] ^ got[3]).count("1")
+    ham_far = bin(got[1] ^ got[4]).count("1")
+    assert ham_near < ham_far

@@ -1,0 +1,86 @@
+"""Stage-1 HTML parsing + full pages pipeline: boilerplate stripping,
+text byte-identity, and resume semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from documentprocessor_spark import reference_semantics as ref
+from documentprocessor_spark.layout import layout_words
+from documentprocessor_spark.operators.html_parse import (
+    extract_content_lines,
+    html_to_words,
+)
+from documentprocessor_spark.plans.pipeline import extract_from_pages, run_job
+from documentprocessor_spark.schemas import PAGES
+from documentprocessor_spark.sources.synthetic import (
+    RECEIPT_LINES,
+    generate_corpus,
+    render_html,
+)
+
+
+def test_boilerplate_stripped():
+    html = render_html(RECEIPT_LINES)
+    lines = extract_content_lines(html)
+    joined = " ".join(lines)
+    # content survives
+    assert "GROCERY STORE" in joined
+    assert "TOTAL $12.40" in joined
+    # nav/footer/sidebar link farms and script payloads do not
+    for boiler in ("Home", "About", "Privacy", "Sitemap", "Deals", "tracker"):
+        assert boiler not in joined, boiler
+
+
+def test_html_roundtrip_matches_layout_model():
+    html = render_html(RECEIPT_LINES)
+    words = html_to_words(html)
+    expected = layout_words([l for l in RECEIPT_LINES if l.strip()])
+    assert [(w["text"], w["x0"], w["y0"], w["x1"], w["y1"], w["confidence"])
+            for w in words] == expected
+
+
+def test_malformed_html_never_raises():
+    assert extract_content_lines(b"<p>ok<div><<<>><a href=") is not None
+    assert html_to_words(b"\xff\xfe garbage bytes") is not None
+
+
+@pytest.fixture(scope="module")
+def corpus_pages(spark):
+    rows = [
+        (url, ts, html, text, lang)
+        for url, ts, html, text, lang, _w, _pw, _ph in generate_corpus(60, seed=7)
+    ]
+    return spark.createDataFrame(rows, PAGES)
+
+
+def test_pipeline_text_byte_identical_to_golden(spark, corpus_pages):
+    results = {
+        r["url"]: r.asDict(recursive=True)
+        for r in extract_from_pages(corpus_pages).collect()
+    }
+    for url, _ts, _html, text, _lang, words, _pw, _ph in generate_corpus(60, seed=7):
+        assert results[url]["extracted_text"] == text, url
+        golden = ref.extract_fields(words)
+        for f in ("vendor_name", "date", "total_amount", "subtotal",
+                  "tax_amount", "currency"):
+            assert results[url][f] == golden[f], f"{url}.{f}"
+        assert results[url]["line_items"] == golden["line_items"], url
+
+
+def test_run_job_resume_skips_committed(spark, corpus_pages, tmp_path):
+    out = str(tmp_path / "job")
+    first = run_job(spark, corpus_pages.limit(30), out, n_buckets=8)
+    assert first["rows_skipped_resume"] == 0
+    second = run_job(spark, corpus_pages, out, n_buckets=8)
+    assert second["rows_skipped_resume"] == 30
+    assert second["rows_total_committed"] == corpus_pages.count()
+    # manifest has lineage rows for both runs
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert manifest.select("run_id").distinct().count() == 2
+    assert manifest.agg(F.sum("rows")).first()[0] == corpus_pages.count()
+    # spans long table exists and references only committed urls
+    spans = spark.read.parquet(f"{out}/spans")
+    assert spans.count() > 0
+    assert spans.join(
+        spark.read.parquet(f"{out}/results"), "url", "left_anti"
+    ).count() == 0

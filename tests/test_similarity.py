@@ -1,0 +1,65 @@
+"""Similarity search: brute-force exactness vs numpy, LSH bucket sanity."""
+
+import numpy as np
+import pytest
+
+from documentprocessor_spark.operators import similarity
+
+DIM = 16
+N = 40
+
+
+def make_vectors():
+    # deterministic pseudo-random vectors without RNG state: hash-derived
+    vecs = []
+    for i in range(N):
+        v = [((i * 31 + j * 17) % 13) - 6.0 for j in range(DIM)]
+        vecs.append((i, [float(x) for x in v]))
+    return vecs
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.createDataFrame(make_vectors(), ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_matches_numpy(emb_df):
+    queries = emb_df.limit(3)
+    got = similarity.cosine_topk(emb_df, queries, k=5).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    mat = np.array([v for _i, v in make_vectors()])
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in range(3):
+        sims = mat @ mat[qid] / (norms * norms[qid])
+        order = sorted(
+            ((round(float(s), 6), -i) for i, s in enumerate(sims) if i != qid),
+            reverse=True,
+        )[:5]
+        expected_ids = [-negi for _s, negi in order]
+        got_ids = [vid for _r, vid, _c in sorted(by_query[qid])]
+        assert got_ids == expected_ids, qid
+
+
+def test_lsh_topk_is_subset_quality(emb_df):
+    queries = emb_df.limit(3)
+    approx = similarity.lsh_bucketed_topk(emb_df, queries, dim=DIM, k=5, bits=4)
+    rows = approx.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_near_dup_pairs_finds_scaled_copy(spark):
+    base = [1.0 * ((j % 5) + 1) for j in range(DIM)]
+    scaled = [2.0 * x for x in base]  # cosine 1.0 with base
+    other = [(-1.0) ** j * (j + 1) for j in range(DIM)]
+    df = spark.createDataFrame(
+        [(0, base), (1, scaled), (2, other)], ["vec_id", "embedding"]
+    )
+    got = similarity.embedding_near_dup_pairs(df, dim=DIM, threshold=0.99).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
