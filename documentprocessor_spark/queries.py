@@ -1,0 +1,669 @@
+"""Driver-contract query suite: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB oracle that computes the identical result
+on the same parquet tables.
+
+Cross-engine determinism rules used throughout:
+- hashes via md5/sha2 only (identical in both engines; never Python hash());
+- float aggregates rounded (6 dp scores / cosines, 2 dp money) AFTER casting
+  to double, so double-rounding noise is absorbed;
+- int division/truncation via floor() on non-negative values only;
+- every computed column aliased identically in Spark and SQL (the driver
+  sorts columns by name before value-hashing);
+- ordering inside string aggregation made explicit on both sides.
+
+Word-geometry synthesis: the driver's `documents` table has no boxes, so
+box-dependent operators (O4 normalize, H1 vendor, H2 keyword window)
+synthesize deterministic pseudo-geometry from (doc_id, token position) with
+pure integer arithmetic — identical formulas in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import dedup, similarity, textstats
+from .plans.pipeline import extract_from_pages
+from .schemas import PAGES
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared word synthesis (Spark side); the SQL twin is inlined in each oracle
+# ---------------------------------------------------------------------------
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, pos, tok, x0, y0, x1, y1, conf) with deterministic
+    pseudo-geometry (integer arithmetic only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    x0 = ((F.col("pos") * 13 + F.col("doc_id")) % 70) * 10
+    y0 = ((F.col("pos") * 37 + F.col("doc_id")) % 50) * 20
+    return toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        x0.cast("long").alias("x0"),
+        y0.cast("long").alias("y0"),
+        (x0 + F.length("tok") * 10).cast("long").alias("x1"),
+        (y0 + F.lit(30)).cast("long").alias("y1"),
+        (((F.col("pos") * 7 + F.col("doc_id")) % 100) / 100.0).alias("conf"),
+    )
+
+
+_SQL_WORDS = """
+    with tok as (
+        select doc_id, string_split(text, ' ') as toks from documents
+    ),
+    words as (
+        select
+            doc_id,
+            i as pos,
+            toks[i + 1] as tok,
+            ((i * 13 + doc_id) % 70) * 10 as x0,
+            ((i * 37 + doc_id) % 50) * 20 as y0,
+            ((i * 13 + doc_id) % 70) * 10 + length(toks[i + 1]) * 10 as x1,
+            ((i * 37 + doc_id) % 50) * 20 + 30 as y1,
+            ((i * 7 + doc_id) % 100) / 100.0 as conf
+        from tok, lateral unnest(range(len(toks))) as u(i)
+    )
+"""
+
+# ---------------------------------------------------------------------------
+# extraction-operator queries
+# ---------------------------------------------------------------------------
+
+
+def q_o4_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 box normalization (commands.py:66-102): scale to 0-1000 by page
+    dims 800x1200, truncate, clamp. Native arithmetic, codegen'd."""
+    w = _doc_words(spark, sf_dir)
+
+    def norm(c, dim):
+        scaled = F.floor(c * 1000 / dim).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(1000), scaled))
+
+    return w.select(
+        "doc_id",
+        "pos",
+        "tok",
+        norm(F.col("x0"), 800).alias("nx0"),
+        norm(F.col("y0"), 1200).alias("ny0"),
+        norm(F.col("x1"), 800).alias("nx1"),
+        norm(F.col("y1"), 1200).alias("ny1"),
+    )
+
+
+_ORACLE_O4 = _SQL_WORDS + """
+    select doc_id, pos, tok,
+        greatest(0, least(1000, cast(floor(x0 * 1000 / 800) as bigint))) as nx0,
+        greatest(0, least(1000, cast(floor(y0 * 1000 / 1200) as bigint))) as ny0,
+        greatest(0, least(1000, cast(floor(x1 * 1000 / 800) as bigint))) as nx1,
+        greatest(0, least(1000, cast(floor(y1 * 1000 / 1200) as bigint))) as ny1
+    from words
+"""
+
+
+def q_h1_vendor_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 vendor heuristic (field_extractor.py:88-134) over synthesized
+    geometry: top-3 words by (y0, pos), joined in that order; mean
+    confidence; envelope box."""
+    w = _doc_words(spark, sf_dir)
+    win = Window.partitionBy("doc_id").orderBy(F.col("y0").asc(), F.col("pos").asc())
+    top = w.withColumn("rn", F.row_number().over(win)).where(F.col("rn") <= 3)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("y0"), F.col("pos"), F.col("tok")))
+    )
+    return top.groupBy("doc_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s["tok"]), " ").alias(
+            "vendor_value"
+        ),
+        F.round(F.avg("conf"), 6).alias("vendor_conf"),
+        F.min("x0").alias("bx0"),
+        F.min("y0").alias("by0"),
+        F.max("x1").alias("bx1"),
+        F.max("y1").alias("by1"),
+    )
+
+
+_ORACLE_H1 = _SQL_WORDS + """
+    , ranked as (
+        select *, row_number() over (
+            partition by doc_id order by y0 asc, pos asc
+        ) as rn
+        from words
+    )
+    select doc_id,
+        string_agg(tok, ' ' order by y0 asc, pos asc) as vendor_value,
+        round(avg(conf), 6) as vendor_conf,
+        min(x0) as bx0, min(y0) as by0, max(x1) as bx1, max(y1) as by1
+    from ranked where rn <= 3
+    group by doc_id
+"""
+
+
+def q_h2_keyword_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 keyword→forward-window extraction (field_extractor.py:136-174)
+    reshaped as a range self-join: first keyword occurrence per doc, first
+    qualifying token in positions [kw, kw+4]."""
+    w = _doc_words(spark, sf_dir).select("doc_id", "pos", "tok")
+    kw = w.where(F.col("tok").isin("value", "scan")).select(
+        "doc_id", F.col("pos").alias("kw_pos"), F.col("tok").alias("kw_tok")
+    )
+    cand = w.select("doc_id", F.col("pos").alias("m_pos"), F.col("tok").alias("m_tok"))
+    joined = kw.join(cand, "doc_id").where(
+        (F.col("m_pos") >= F.col("kw_pos"))
+        & (F.col("m_pos") <= F.col("kw_pos") + 4)
+        & (F.length("m_tok") >= 5)
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("kw_pos").asc(), F.col("m_pos").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "kw_pos", "kw_tok", "m_pos", "m_tok")
+    )
+
+
+_ORACLE_H2 = _SQL_WORDS + """
+    , kw as (
+        select doc_id, pos as kw_pos, tok as kw_tok from words
+        where tok in ('value', 'scan')
+    ),
+    cand as (select doc_id, pos as m_pos, tok as m_tok from words),
+    joined as (
+        select kw.doc_id, kw_pos, kw_tok, m_pos, m_tok,
+            row_number() over (
+                partition by kw.doc_id order by kw_pos asc, m_pos asc
+            ) as rn
+        from kw join cand on kw.doc_id = cand.doc_id
+        where m_pos >= kw_pos and m_pos <= kw_pos + 4 and length(m_tok) >= 5
+    )
+    select doc_id, kw_pos, kw_tok, m_pos, m_tok from joined where rn = 1
+"""
+
+
+def q_h5_keyword_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 substring-CASE classification (receipt_processor.py:499-510 shape)
+    over documents.text, with per-class counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    label = (
+        F.when(F.col("text").contains("value"), F.lit("HAS_VALUE"))
+        .when(F.col("text").contains("table"), F.lit("HAS_TABLE"))
+        .when(F.col("text").contains("join"), F.lit("HAS_JOIN"))
+        .otherwise(F.lit("OTHER"))
+    )
+    return (
+        docs.select(label.alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_ORACLE_H5 = """
+    select
+        case
+            when text like '%value%' then 'HAS_VALUE'
+            when text like '%table%' then 'HAS_TABLE'
+            when text like '%join%' then 'HAS_JOIN'
+            else 'OTHER'
+        end as label,
+        count(*) as n_docs
+    from documents group by 1
+"""
+
+
+def q_h8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over events (the window/lag/cumsum pattern
+    behind H8 line grouping and M2 BIO runs, SURVEY.md §2.6): new session
+    when the per-user gap exceeds 30 minutes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is stable
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gap_us = us - prev_us
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_ORACLE_H8 = """
+    with marked as (
+        select user_id,
+            case when lag(ts) over (partition by user_id order by ts) is null
+                 or epoch_us(ts) - epoch_us(lag(ts) over (
+                        partition by user_id order by ts)) > 30 * 60 * 1000000
+                 then 1 else 0 end as new_session
+        from events
+    )
+    select user_id, sum(new_session) as n_sessions, count(*) as n_events
+    from marked group by user_id
+"""
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "doc_id", "text")
+
+
+_ORACLE_DEDUP_EXACT = """
+    select doc_id,
+        min(doc_id) over (partition by sha256(text)) as canonical_id,
+        count(*) over (partition by sha256(text)) as group_size
+    from documents
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text", k=4)
+
+
+_ORACLE_MINHASH = """
+    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
+    sh as (
+        select distinct doc_id,
+            toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] as shingle
+        from tok, lateral unnest(range(len(toks) - 2)) as u(i)
+    ),
+    seeds as (select unnest(range(4)) as seed)
+    select doc_id, cast(seed as int) as seed,
+        min(md5(cast(seed as varchar) || ':' || shingle)) as minhash
+    from sh cross join seeds
+    group by doc_id, seed
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, df_cap=50
+    )
+
+
+_ORACLE_JACCARD = """
+    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
+    sh as (
+        select distinct doc_id,
+            toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] as shingle
+        from tok, lateral unnest(range(len(toks) - 2)) as u(i)
+    ),
+    sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+    rare as (
+        select shingle from sh group by shingle having count(*) <= 50
+    ),
+    f as (select sh.doc_id, sh.shingle from sh join rare using (shingle)),
+    inter as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i_n
+        from f a join f b on a.shingle = b.shingle and a.doc_id < b.doc_id
+        group by 1, 2
+    )
+    select doc_a, doc_b,
+        round(cast(i_n as double) / (sa.n_sh + sb.n_sh - i_n), 6) as jaccard
+    from inter
+    join sizes sa on sa.doc_id = doc_a
+    join sizes sb on sb.doc_id = doc_b
+    where round(cast(i_n as double) / (sa.n_sh + sb.n_sh - i_n), 6) >= 0.1
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_table(docs, "doc_id", "text", bits=16)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n            ".join(
+        f"sum(case when substr(md5('{j}:' || tok), 1, 1) in "
+        f"('0','1','2','3','4','5','6','7') then 1 else -1 end) as v{j}"
+        for j in range(bits)
+    )
+    packed = " + ".join(f"(case when v{j} > 0 then {2**j} else 0 end)" for j in range(bits))
+    return f"""
+    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
+    t as (select doc_id, toks[i + 1] as tok
+          from tok, lateral unnest(range(len(toks))) as u(i)),
+    votes as (
+        select doc_id,
+            {votes}
+        from t group by doc_id
+    )
+    select doc_id, cast({packed} as bigint) as simhash from votes
+"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis queries
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.document_stats(docs).select(
+        "doc_id", "token_count", "quality_score", "fingerprint"
+    )
+
+
+_EN_STOP_SQL = ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS)
+
+_ORACLE_TEXT_STATS = f"""
+    select doc_id,
+        cast(len(string_split(text, ' ')) as int) as token_count,
+        round(
+            0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / greatest(length(text), 1))
+            + 0.5 * (len(list_filter(string_split(text, ' '),
+                                     x -> x in ({_EN_STOP_SQL})))
+                     / greatest(len(string_split(text, ' ')), 1)),
+            6
+        ) as quality_score,
+        md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) as fingerprint
+    from documents
+"""
+
+
+def q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(textstats.lang_id_col(F.col("text")).alias("lang_id"))
+        .groupBy("lang_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_DE_STOP_SQL = ", ".join(f"'{s}'" for s in textstats.DE_STOPWORDS)
+_FR_STOP_SQL = ", ".join(f"'{s}'" for s in textstats.FR_STOPWORDS)
+
+_ORACLE_LANG = f"""
+    with hits as (
+        select doc_id,
+            len(list_filter(string_split(text, ' '), x -> x in ({_EN_STOP_SQL}))) as en,
+            len(list_filter(string_split(text, ' '), x -> x in ({_DE_STOP_SQL}))) as de,
+            len(list_filter(string_split(text, ' '), x -> x in ({_FR_STOP_SQL}))) as fr
+        from documents
+    )
+    select case
+        when en >= de and en >= fr and en > 0 then 'en'
+        when de >= fr and de > 0 then 'de'
+        when fr > 0 then 'fr'
+        else 'und' end as lang_id,
+        count(*) as n_docs
+    from hits group by 1
+"""
+
+# ---------------------------------------------------------------------------
+# similarity queries
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+_ORACLE_COSINE = """
+    with q as (select vec_id as qid, embedding as qe from embeddings where vec_id < 3),
+    c as (select vec_id as cid, embedding as ce from embeddings),
+    expanded as (
+        select qid, cid,
+            cast(qe[i + 1] as double) as qv, cast(ce[i + 1] as double) as cv
+        from q join c on cid != qid, lateral unnest(range(len(qe))) as u(i)
+    ),
+    agg as (
+        select qid, cid, sum(qv * cv) as dot,
+            sqrt(sum(qv * qv)) as nq, sqrt(sum(cv * cv)) as nc
+        from expanded group by qid, cid
+    ),
+    ranked as (
+        select qid as query_id, cid as vec_id,
+            round(dot / (nq * nc), 6) as cosine,
+            row_number() over (
+                partition by qid order by dot / (nq * nc) desc, cid asc
+            ) as rank
+        from agg
+    )
+    select query_id, vec_id, cosine, cast(rank as int) as rank
+    from ranked where rank <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# relational coverage (TPC-H-ish) — scans, joins, aggs, windows, top-k
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the partial-aggregation workhorse."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_ORACLE_Q1 = """
+    select l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) as sum_qty,
+        round(sum(l_extendedprice), 2) as sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+        round(avg(l_quantity), 6) as avg_qty,
+        count(*) as count_order
+    from lineitem
+    where l_shipdate <= timestamp '2002-09-02'
+    group by l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_ORACLE_Q3 = """
+    select o_orderkey, c_mktsegment,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    group by o_orderkey, c_mktsegment
+    order by revenue desc, o_orderkey asc
+    limit 10
+"""
+
+
+def q_region_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join star lookup: supplier ⋈ nation ⋈ region."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+_ORACLE_REGION = """
+    select r_name, count(*) as n_suppliers,
+        round(avg(s_acctbal), 6) as avg_acctbal
+    from supplier
+    join nation on s_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    group by r_name
+"""
+
+
+def q_top_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-with-priority (M3 keep-highest-confidence analog,
+    layoutlmv3.py:498-500): per supplier keep the top-revenue part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_suppkey", "l_partkey", "revenue")
+    )
+
+
+_ORACLE_TOP_PART = """
+    with rev as (
+        select l_suppkey, l_partkey,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from lineitem group by l_suppkey, l_partkey
+    ),
+    ranked as (
+        select *, row_number() over (
+            partition by l_suppkey order by revenue desc, l_partkey asc
+        ) as rn from rev
+    )
+    select l_suppkey, l_partkey, revenue from ranked where rn = 1
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch twin of
+    streaming.windowed_domain_counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+_ORACLE_EVENTS_HOURLY = """
+    select date_trunc('hour', ts) as hour, event_type,
+        count(*) as n_events, round(avg(value), 6) as avg_value
+    from events group by 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# full extraction pipeline (non-SQL-expressible → rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: documents wrapped into the pages shape → full stage-1/2
+    extraction. The heuristic fold (H2/H8/H9 first-match and anchor rules)
+    is sequential per document — deliberately not oracle'd in SQL; its
+    byte-identity is pinned by tests/test_extract_spark.py instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    res = extract_from_pages(pages)
+    return res.select(
+        "url",
+        "extracted_text",
+        F.col("vendor_name.value").alias("vendor_value"),
+        F.col("currency.value").alias("currency_value"),
+        "status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "o4_normalize_boxes": q_o4_normalize,
+    "h1_vendor_top3": q_h1_vendor_top3,
+    "h2_keyword_window": q_h2_keyword_window,
+    "h5_keyword_case": q_h5_keyword_case,
+    "h8_sessionize_events": q_h8_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "text_stats": q_text_stats,
+    "lang_id_counts": q_lang_counts,
+    "similarity_cosine_topk": q_cosine_topk,
+    "tpch_q1_pricing_summary": q_pricing_summary,
+    "tpch_q3_top_revenue": q_top_revenue_orders,
+    "region_supplier_stats": q_region_supplier_stats,
+    "top_part_per_supplier": q_top_part_per_supplier,
+    "events_hourly_windows": q_events_hourly,
+    "pipeline_extract_documents": q_pipeline_extract,
+}
+
+ORACLES = {
+    "o4_normalize_boxes": _ORACLE_O4,
+    "h1_vendor_top3": _ORACLE_H1,
+    "h2_keyword_window": _ORACLE_H2,
+    "h5_keyword_case": _ORACLE_H5,
+    "h8_sessionize_events": _ORACLE_H8,
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_minhash_signatures": _ORACLE_MINHASH,
+    "dedup_ngram_jaccard": _ORACLE_JACCARD,
+    "dedup_simhash": _simhash_oracle(16),
+    "text_stats": _ORACLE_TEXT_STATS,
+    "lang_id_counts": _ORACLE_LANG,
+    "similarity_cosine_topk": _ORACLE_COSINE,
+    "tpch_q1_pricing_summary": _ORACLE_Q1,
+    "tpch_q3_top_revenue": _ORACLE_Q3,
+    "region_supplier_stats": _ORACLE_REGION,
+    "top_part_per_supplier": _ORACLE_TOP_PART,
+    "events_hourly_windows": _ORACLE_EVENTS_HOURLY,
+    # pipeline_extract_documents: intentionally no oracle (rows-only check)
+}
