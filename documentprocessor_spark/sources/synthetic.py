@@ -180,6 +180,13 @@ HEAVY_DOMAIN = "bigstore.example.com"
 N_TAIL_DOMAINS = 997  # prime-ish spread
 
 
+def doc_rng(seed: int, i: int) -> random.Random:
+    """Per-document RNG — independent of generation order, so the corpus can
+    be produced distributively (spark.range → mapInPandas) with the exact
+    same content as the driver-side loop."""
+    return random.Random((seed * 1_000_003) ^ (i * 2_654_435_761))
+
+
 def receipt_lines_for(i: int, rng: random.Random) -> list[str]:
     vendor = VENDORS[i % len(VENDORS)]
     n_items = 1 + rng.randrange(7)
@@ -214,29 +221,55 @@ def bulk_url(i: int, rng: random.Random) -> str:
     return f"https://{domain}/receipt/{i}"
 
 
-def generate_corpus(n_docs: int, seed: int = 42):
-    """Yield (url, warc_ts, html_bytes, text, lang, words, width, height).
+def generate_doc(i: int, seed: int = 42):
+    """One deterministic document: (url, warc_ts, html, text, lang, words,
+    width, height). Independent per index — safe to call from any partition."""
+    rng = doc_rng(seed, i)
+    lines = receipt_lines_for(i, rng)
+    words = layout_words(lines)
+    text = " ".join(w[0] for w in words)
+    lang = "en" if i % 17 else "de"  # a few non-en rows (filter exercise)
+    return (
+        bulk_url(i, rng),
+        datetime(2024, 1, 1) + timedelta(seconds=i * 13),
+        render_html(lines, title=f"doc {i}"),
+        text,
+        lang,
+        words,
+        PAGE_W,
+        PAGE_H,
+    )
 
-    Fully deterministic for a given (n_docs, seed). ``text`` is the golden
-    extracted text (space-joined words in reading order).
-    """
-    rng = random.Random(seed)
-    t0 = datetime(2024, 1, 1)
+
+def generate_corpus(n_docs: int, seed: int = 42):
+    """Yield deterministic documents; ``text`` is the golden extracted text
+    (space-joined words in reading order)."""
     for i in range(n_docs):
-        lines = receipt_lines_for(i, rng)
-        words = layout_words(lines)
-        text = " ".join(w[0] for w in words)
-        lang = "en" if i % 17 else "de"  # a few non-en rows (filter exercise)
-        yield (
-            bulk_url(i, rng),
-            t0 + timedelta(seconds=i * 13),
-            render_html(lines, title=f"doc {i}"),
-            text,
-            lang,
-            words,
-            PAGE_W,
-            PAGE_H,
-        )
+        yield generate_doc(i, seed)
+
+
+def distributed_corpus(spark, n_docs: int, seed: int = 42, n_partitions: int | None = None):
+    """Build the pages corpus as a distributed DataFrame (no driver-side
+    materialization) — generation runs inside mapInPandas, so corpora of
+    millions of pages cost no driver memory. Content is identical to
+    generate_corpus for the same (n_docs, seed)."""
+    import pandas as pd
+
+    from ..schemas import PAGES
+
+    n_partitions = n_partitions or max(32, n_docs // 5000)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [generate_doc(int(i), seed)[:5] for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return (
+        spark.range(0, n_docs, numPartitions=n_partitions)
+        .mapInPandas(gen, schema=PAGES)
+    )
 
 
 # ------------------------------------------------------- DataFrame assembly

@@ -44,6 +44,27 @@ def test_malformed_html_never_raises():
     assert html_to_words(b"\xff\xfe garbage bytes") is not None
 
 
+def test_fast_scanner_equals_htmlparser_reference():
+    """The regex fast path and the stdlib-HTMLParser reference implementation
+    must segment identically on the supported dialect."""
+    cases = [
+        render_html(RECEIPT_LINES),
+        b"<p>ok<div><<<>><a href=",
+        b"\xff\xfe garbage",
+        b"",
+        b'<p>a&amp;b &lt;x&gt;</p><!-- <p>no</p> -->'
+        b'<script>var a="<p>hi</p>";</script><p>end</p>',
+        b"<P>UPPER</P><A HREF=x>link</A>",
+        b'<!DOCTYPE html><td>a</td><td att=">">b</td>',
+        b"<nav><a>x</a></nav><main><p>keep</p></main><footer>f</footer>",
+    ]
+    cases += [h for _u, _ts, h, _t, _l, _w, _pw, _ph in generate_corpus(200, seed=11)]
+    for html in cases:
+        assert extract_content_lines(html, "fast") == extract_content_lines(
+            html, "parser"
+        ), html[:80]
+
+
 @pytest.fixture(scope="module")
 def corpus_pages(spark):
     rows = [
