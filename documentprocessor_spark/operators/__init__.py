@@ -1,1 +1,10 @@
-from . import dedup, extract, html_parse, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    extract,
+    html_parse,
+    model_infer,
+    multimodal,
+    similarity,
+    textstats,
+    tokenize,
+)

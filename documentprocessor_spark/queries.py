@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import reference_semantics as ref_sem
 from .operators import dedup, similarity, textstats
 from .plans.pipeline import extract_from_pages
 from .schemas import PAGES
@@ -249,6 +250,156 @@ _ORACLE_H8 = """
     select user_id, sum(new_session) as n_sessions, count(*) as n_events
     from marked group by user_id
 """
+
+def q_o6_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 subword tokenization with parent-box inheritance
+    (receipt_processor.py:301-332): BPE-ish regex split, every subtoken
+    carries its word's box."""
+    from .operators.tokenize import subword_tokens
+
+    return subword_tokens(_doc_words(spark, sf_dir))
+
+
+_ORACLE_O6 = _SQL_WORDS + """
+    , subs as (
+        select doc_id, pos, tok,
+            regexp_extract_all(tok, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9]') as sub_list,
+            x0, y0, x1, y1
+        from words
+    )
+    select doc_id, pos, tok,
+        cast(i as int) as sub_idx, sub_list[i + 1] as sub_tok,
+        x0, y0, x1, y1
+    from subs, lateral unnest(range(len(sub_list))) as u(i)
+"""
+
+
+def q_bio_entity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 BIO merge + M3 keep-highest-confidence, relationally
+    (layoutlmv3.py:350-501): run boundaries at O/B- tokens, runs starting
+    with B- become entities, mismatched I- tokens are dropped without
+    closing the run; scalar types keep the earliest strictly-highest-
+    confidence entity, ITEM keeps all.
+
+    Predictions are synthesized deterministically: raw id =
+    (pos*11 + doc_id) % 15 (ids 13/14 exercise the out-of-range→O rule);
+    confidence = ((pos*3 + doc_id) % 40 + 60)/100.
+
+    The imperative kernel (reference_semantics.extract_entities) is the
+    authority; tests assert this relational formulation matches it.
+    """
+    w = _doc_words(spark, sf_dir)
+    raw = (F.col("pos") * 11 + F.col("doc_id")) % 15
+    pred = F.when(raw >= 13, F.lit(0)).otherwise(raw)
+    label_map = F.create_map(
+        *[F.lit(x) for kv in ref_sem.RECEIPT_LABELS.items() for x in kv]
+    )
+    labeled = w.select(
+        "doc_id",
+        "pos",
+        "tok",
+        "x0", "y0", "x1", "y1",
+        label_map[pred].alias("label"),
+        (((F.col("pos") * 3 + F.col("doc_id")) % 40 + 60) / 100.0).alias("mconf"),
+    )
+    boundary = F.when(
+        (F.col("label") == "O") | F.col("label").startswith("B-"), 1
+    ).otherwise(0)
+    run_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = labeled.withColumn("run_id", F.sum(boundary).over(run_w))
+    first_w = Window.partitionBy("doc_id", "run_id").orderBy("pos")
+    runs = runs.withColumn("first_label", F.first("label").over(first_w))
+    entity_runs = runs.where(F.col("first_label").startswith("B-")).withColumn(
+        "entity_type", F.substring("first_label", 3, 100)
+    )
+    included = entity_runs.where(
+        (F.col("label") == F.concat(F.lit("B-"), F.col("entity_type")))
+        | (F.col("label") == F.concat(F.lit("I-"), F.col("entity_type")))
+    )
+    ordered_toks = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+    )
+    entities = included.groupBy("doc_id", "run_id", "entity_type").agg(
+        F.array_join(F.transform(ordered_toks, lambda s: s["tok"]), " ").alias(
+            "value"
+        ),
+        F.round(F.avg("mconf"), 6).alias("conf"),
+        F.min("x0").alias("bx0"),
+        F.min("y0").alias("by0"),
+        F.max("x1").alias("bx1"),
+        F.max("y1").alias("by1"),
+    )
+    keep_w = Window.partitionBy("doc_id", "entity_type").orderBy(
+        F.col("conf").desc(), F.col("run_id").asc()
+    )
+    return (
+        entities.withColumn(
+            "rn",
+            F.when(F.col("entity_type") == "ITEM", F.lit(1)).otherwise(
+                F.row_number().over(keep_w)
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "entity_type", "value", "conf", "bx0", "by0", "bx1", "by1")
+    )
+
+
+_ORACLE_BIO = _SQL_WORDS + """
+    , labeled as (
+        select doc_id, pos, tok, x0, y0, x1, y1,
+            case ((pos * 11 + doc_id) % 15)
+                when 0 then 'O' when 1 then 'B-VENDOR' when 2 then 'I-VENDOR'
+                when 3 then 'B-DATE' when 4 then 'I-DATE'
+                when 5 then 'B-TOTAL' when 6 then 'I-TOTAL'
+                when 7 then 'B-SUBTOTAL' when 8 then 'I-SUBTOTAL'
+                when 9 then 'B-TAX' when 10 then 'I-TAX'
+                when 11 then 'B-ITEM' when 12 then 'I-ITEM'
+                else 'O' end as label,
+            ((pos * 3 + doc_id) % 40 + 60) / 100.0 as mconf
+        from words
+    ),
+    runs as (
+        select *,
+            sum(case when label = 'O' or label like 'B-%' then 1 else 0 end)
+                over (partition by doc_id order by pos
+                      rows unbounded preceding) as run_id
+        from labeled
+    ),
+    firsts as (
+        select *, first_value(label) over (
+            partition by doc_id, run_id order by pos) as first_label
+        from runs
+    ),
+    entity_runs as (
+        select *, substr(first_label, 3) as entity_type
+        from firsts where first_label like 'B-%'
+    ),
+    included as (
+        select * from entity_runs
+        where label = 'B-' || entity_type or label = 'I-' || entity_type
+    ),
+    entities as (
+        select doc_id, run_id, entity_type,
+            string_agg(tok, ' ' order by pos) as value,
+            round(avg(mconf), 6) as conf,
+            min(x0) as bx0, min(y0) as by0, max(x1) as bx1, max(y1) as by1
+        from included
+        group by doc_id, run_id, entity_type
+    ),
+    ranked as (
+        select *, case when entity_type = 'ITEM' then 1 else
+            row_number() over (partition by doc_id, entity_type
+                               order by conf desc, run_id asc) end as rn
+        from entities
+    )
+    select doc_id, entity_type, value, conf, bx0, by0, bx1, by1
+    from ranked where rn = 1
+"""
+
 
 # ---------------------------------------------------------------------------
 # dedup queries
@@ -592,6 +743,66 @@ _ORACLE_EVENTS_HOURLY = """
     from events group by 1, 2
 """
 
+
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (SURVEY.md §2.9): ROLLUP over return flag /
+    line status with subtotal and grand-total rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_ORACLE_ROLLUP = """
+    select l_returnflag, l_linestatus, count(*) as n_rows,
+        round(sum(l_quantity), 2) as sum_qty
+    from lineitem
+    group by rollup (l_returnflag, l_linestatus)
+"""
+
+
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join coverage: per market segment, customers with and
+    without orders (the resume anti-join pattern from plans.pipeline)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    total = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+    return (
+        total.join(with_orders, "c_mktsegment", "left")
+        .join(without, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+_ORACLE_SEMI_ANTI = """
+    select c_mktsegment,
+        count(*) as n_customers,
+        cast(sum(case when exists (select 1 from orders
+                                   where o_custkey = c_custkey)
+                 then 1 else 0 end) as bigint) as n_with_orders,
+        cast(sum(case when not exists (select 1 from orders
+                                       where o_custkey = c_custkey)
+                 then 1 else 0 end) as bigint) as n_without_orders
+    from customer
+    group by c_mktsegment
+"""
+
 # ---------------------------------------------------------------------------
 # full extraction pipeline (non-SQL-expressible → rows-only driver check)
 # ---------------------------------------------------------------------------
@@ -622,12 +833,35 @@ def q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The flagship DOES have an exact SQL oracle on this input shape: with
+# html=null the stage-1 tokenizer lays all of `text` on one line, so
+# extracted_text round-trips to text, the stable y0-sort makes vendor the
+# first 3 tokens, and currency is the H5 CASE over the text.
+_ORACLE_PIPELINE = """
+    select
+        'doc://' || source || '/' || doc_id as url,
+        text as extracted_text,
+        case when len(string_split(text, ' ')) > 0
+             then array_to_string(string_split(text, ' ')[1:3], ' ')
+             end as vendor_value,
+        case
+            when text like '%$%' or text like '%USD%' then 'USD'
+            when text like '%€%' or text like '%EUR%' then 'EUR'
+            when text like '%£%' or text like '%GBP%' then 'GBP'
+            end as currency_value,
+        'done' as status
+    from documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     "o4_normalize_boxes": q_o4_normalize,
+    "o6_subword_tokens": q_o6_subword_tokens,
+    "m2_bio_entity_merge": q_bio_entity_merge,
     "h1_vendor_top3": q_h1_vendor_top3,
     "h2_keyword_window": q_h2_keyword_window,
     "h5_keyword_case": q_h5_keyword_case,
@@ -644,11 +878,15 @@ QUERIES = {
     "region_supplier_stats": q_region_supplier_stats,
     "top_part_per_supplier": q_top_part_per_supplier,
     "events_hourly_windows": q_events_hourly,
+    "rollup_returns": q_rollup_returns,
+    "semi_anti_customers": q_semi_anti_customers,
     "pipeline_extract_documents": q_pipeline_extract,
 }
 
 ORACLES = {
     "o4_normalize_boxes": _ORACLE_O4,
+    "o6_subword_tokens": _ORACLE_O6,
+    "m2_bio_entity_merge": _ORACLE_BIO,
     "h1_vendor_top3": _ORACLE_H1,
     "h2_keyword_window": _ORACLE_H2,
     "h5_keyword_case": _ORACLE_H5,
@@ -665,5 +903,7 @@ ORACLES = {
     "region_supplier_stats": _ORACLE_REGION,
     "top_part_per_supplier": _ORACLE_TOP_PART,
     "events_hourly_windows": _ORACLE_EVENTS_HOURLY,
-    # pipeline_extract_documents: intentionally no oracle (rows-only check)
+    "rollup_returns": _ORACLE_ROLLUP,
+    "semi_anti_customers": _ORACLE_SEMI_ANTI,
+    "pipeline_extract_documents": _ORACLE_PIPELINE,
 }

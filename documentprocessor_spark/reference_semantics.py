@@ -334,6 +334,130 @@ def extract_fields(words):
     }
 
 
+# --- model path: BIO entity merge (M2) + entity save (M3) + merge (H12) ----
+
+# /root/reference/Ocr/src/models/layoutlmv3.py:16-30
+RECEIPT_LABELS = {
+    0: "O",
+    1: "B-VENDOR", 2: "I-VENDOR",
+    3: "B-DATE", 4: "I-DATE",
+    5: "B-TOTAL", 6: "I-TOTAL",
+    7: "B-SUBTOTAL", 8: "I-SUBTOTAL",
+    9: "B-TAX", 10: "I-TAX",
+    11: "B-ITEM", 12: "I-ITEM",
+}
+
+_ENTITY_FIELD = {
+    "VENDOR": "vendor_name",
+    "DATE": "date",
+    "TOTAL": "total_amount",
+    "SUBTOTAL": "subtotal",
+    "TAX": "tax_amount",
+    "ITEM": "line_items",
+}
+
+
+def _save_entity(entities, entity_type, tokens, boxes, confidences):
+    """layoutlmv3.py:437-501: join tokens, average confidence, envelope box;
+    ITEM appends to line_items; scalar fields keep the strictly-highest
+    confidence occurrence."""
+    value = " ".join(tokens)
+    conf = sum(confidences) / len(confidences) if confidences else 0.0
+    box = (
+        _box_dict(
+            min(b[0] for b in boxes),
+            min(b[1] for b in boxes),
+            max(b[2] for b in boxes),
+            max(b[3] for b in boxes),
+        )
+        if boxes
+        else None
+    )
+    field = _ENTITY_FIELD.get(entity_type)
+    if field is None:
+        return
+    if field == "line_items":
+        entities["line_items"].append(
+            {"description": value, "confidence": conf, "box": box}
+        )
+    elif entities[field] is None or conf > entities[field].get("confidence", 0):
+        entities[field] = _field(value, conf, box)
+
+
+def extract_entities(tokens, predictions, confidences, boxes):
+    """BIO merge over a token sequence — layoutlmv3.py:350-435 exactly:
+
+    - out-of-range prediction ids become O;
+    - O flushes the open entity; B- flushes and starts a new one;
+    - I- extends ONLY when its type matches the open entity — a mismatched
+      I- token is silently dropped and the open entity stays open (the
+      reference's quirk; it does NOT flush);
+    - an I- with no open entity is dropped.
+    """
+    entities = {
+        "vendor_name": None,
+        "date": None,
+        "total_amount": None,
+        "subtotal": None,
+        "tax_amount": None,
+        "line_items": [],
+    }
+    cur_type = None
+    cur_tokens, cur_boxes, cur_confs = [], [], []
+    n = min(len(tokens), len(predictions), len(confidences))
+    for i in range(n):
+        pred = predictions[i]
+        if pred >= len(RECEIPT_LABELS):
+            pred = 0
+        label = RECEIPT_LABELS.get(pred, "O")
+        if label == "O":
+            if cur_type and cur_tokens:
+                _save_entity(entities, cur_type, cur_tokens, cur_boxes, cur_confs)
+            cur_type, cur_tokens, cur_boxes, cur_confs = None, [], [], []
+        elif label.startswith("B-"):
+            if cur_type and cur_tokens:
+                _save_entity(entities, cur_type, cur_tokens, cur_boxes, cur_confs)
+            cur_type = label[2:]
+            cur_tokens = [tokens[i]] if i < len(tokens) else []
+            cur_boxes = [boxes[i]] if i < len(boxes) else []
+            cur_confs = [confidences[i]]
+        elif label.startswith("I-"):
+            if cur_type == label[2:]:
+                if i < len(tokens):
+                    cur_tokens.append(tokens[i])
+                if i < len(boxes):
+                    cur_boxes.append(boxes[i])
+                cur_confs.append(confidences[i])
+    if cur_type and cur_tokens:
+        _save_entity(entities, cur_type, cur_tokens, cur_boxes, cur_confs)
+    return entities
+
+
+def extract_fields_with_model(predictions, words):
+    """H12 model-first merge — receipt_processor.py:362-416, model branch:
+    when entities are present, only vendor_name and total_amount are
+    back-filled from heuristics; date/subtotal/tax stay null if the model
+    missed them, currency and merchant_address are never filled."""
+    if not (predictions and predictions.get("entities")):
+        return extract_fields(words)
+    entities = predictions["entities"]
+    result = {
+        "vendor_name": entities.get("vendor_name"),
+        "date": entities.get("date"),
+        "total_amount": entities.get("total_amount"),
+        "subtotal": entities.get("subtotal"),
+        "tax_amount": entities.get("tax_amount"),
+        "currency": None,
+        "merchant_address": None,
+        "line_items": entities.get("line_items", []),
+    }
+    if result["vendor_name"] is None:
+        result["vendor_name"] = extract_vendor(words)
+    if result["total_amount"] is None:
+        result["total_amount"] = extract_total(words)
+    return result
+
+
 def verify_totals(subtotal, tax, total, tolerance=Decimal("0.02")):
     """abs((subtotal+tax) - total) <= 0.02 with all-present requirement.
 
