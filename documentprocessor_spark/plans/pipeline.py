@@ -61,6 +61,33 @@ def extract_from_pages(pages: DataFrame, n_buckets: int | None = None) -> DataFr
     )
 
 
+def with_quality_columns(results: DataFrame) -> DataFrame:
+    """H10 totals verification as a data-quality column
+    (field_extractor.py:327-359: all three present AND
+    |subtotal + tax − total| ≤ 0.02)."""
+    s = F.col("subtotal.value").cast("decimal(12,2)")
+    t = F.col("tax_amount.value").cast("decimal(12,2)")
+    tot = F.col("total_amount.value").cast("decimal(12,2)")
+    verified = F.when(
+        s.isNull() | t.isNull() | tot.isNull(), F.lit(False)
+    ).otherwise(F.abs((s + t) - tot) <= F.lit(0.02))
+    return results.withColumn("totals_verified", verified)
+
+
+def confidence_filter(results: DataFrame, min_confidence: float = 0.5) -> DataFrame:
+    """H11 consolidate_fields (field_extractor.py:361-387): null out any
+    extracted field whose confidence is below the threshold."""
+    out = results
+    for name in SCALAR_FIELDS:
+        out = out.withColumn(
+            name,
+            F.when(
+                F.col(f"{name}.confidence") >= min_confidence, F.col(name)
+            ),
+        )
+    return out
+
+
 def results_to_spans(results: DataFrame) -> DataFrame:
     """Wide results → long spans table (url, field, value, confidence, box)."""
     span_structs = F.array(

@@ -556,6 +556,100 @@ _ORACLE_LANG = f"""
     from hits group by 1
 """
 
+def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew handling (north_rule): salted two-phase aggregation —
+    bit-identical to the naive groupBy the oracle runs."""
+    from .operators.skew import salted_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_counts(ev, "event_type", "event_id", sum_col="value")
+
+
+_ORACLE_SALTED = """
+    select event_type, count(*) as n_rows, round(sum(value), 2) as sum_value
+    from events group by event_type
+"""
+
+
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full training-data curation plan: lang filter → quality filter →
+    exact dedup → MinHash-band near-dup drop (plans/curate.py)."""
+    from .plans.curate import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_documents(docs, min_quality=0.3)
+
+
+_ORACLE_CURATE = f"""
+    with scored as (
+        select doc_id, text,
+            case
+                when len(list_filter(string_split(text, ' '),
+                         x -> x in ({_EN_STOP_SQL}))) >=
+                     len(list_filter(string_split(text, ' '),
+                         x -> x in ({_DE_STOP_SQL})))
+                 and len(list_filter(string_split(text, ' '),
+                         x -> x in ({_EN_STOP_SQL}))) >=
+                     len(list_filter(string_split(text, ' '),
+                         x -> x in ({_FR_STOP_SQL})))
+                 and len(list_filter(string_split(text, ' '),
+                         x -> x in ({_EN_STOP_SQL}))) > 0 then 'en'
+                when len(list_filter(string_split(text, ' '),
+                         x -> x in ({_DE_STOP_SQL}))) >=
+                     len(list_filter(string_split(text, ' '),
+                         x -> x in ({_FR_STOP_SQL})))
+                 and len(list_filter(string_split(text, ' '),
+                         x -> x in ({_DE_STOP_SQL}))) > 0 then 'de'
+                when len(list_filter(string_split(text, ' '),
+                         x -> x in ({_FR_STOP_SQL}))) > 0 then 'fr'
+                else 'und' end as lang_id,
+            round(
+                0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / greatest(length(text), 1))
+                + 0.5 * (len(list_filter(string_split(text, ' '),
+                                         x -> x in ({_EN_STOP_SQL})))
+                         / greatest(len(string_split(text, ' ')), 1)),
+                6) as quality_score
+        from documents
+    ),
+    filtered as (
+        select * from scored where lang_id = 'en' and quality_score >= 0.3
+    ),
+    exact as (
+        select * from (
+            select *, min(doc_id) over (partition by sha256(text)) as canon
+            from filtered
+        ) where doc_id = canon
+    ),
+    tok as (select doc_id, string_split(text, ' ') as toks from exact),
+    sh as (
+        select distinct doc_id,
+            toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] as shingle
+        from tok, lateral unnest(range(len(toks) - 2)) as u(i)
+    ),
+    seeds as (select unnest(range(8)) as seed),
+    sig as (
+        select doc_id, seed,
+            min(md5(cast(seed as varchar) || ':' || shingle)) as mh
+        from sh cross join seeds group by doc_id, seed
+    ),
+    bands as (
+        select doc_id, cast(seed // 2 as int) as band,
+            md5(string_agg(mh, '|' order by mh)) as band_hash
+        from sig group by doc_id, cast(seed // 2 as int)
+    ),
+    losers as (
+        select distinct b.doc_id
+        from bands a join bands b
+          on a.band = b.band and a.band_hash = b.band_hash
+         and a.doc_id < b.doc_id
+    )
+    select e.doc_id, e.lang_id, e.quality_score
+    from exact e left join losers l on e.doc_id = l.doc_id
+    where l.doc_id is null
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity queries
 # ---------------------------------------------------------------------------
@@ -878,6 +972,8 @@ QUERIES = {
     "region_supplier_stats": q_region_supplier_stats,
     "top_part_per_supplier": q_top_part_per_supplier,
     "events_hourly_windows": q_events_hourly,
+    "salted_event_counts": q_salted_event_counts,
+    "curate_documents": q_curate_documents,
     "rollup_returns": q_rollup_returns,
     "semi_anti_customers": q_semi_anti_customers,
     "pipeline_extract_documents": q_pipeline_extract,
@@ -903,6 +999,8 @@ ORACLES = {
     "region_supplier_stats": _ORACLE_REGION,
     "top_part_per_supplier": _ORACLE_TOP_PART,
     "events_hourly_windows": _ORACLE_EVENTS_HOURLY,
+    "salted_event_counts": _ORACLE_SALTED,
+    "curate_documents": _ORACLE_CURATE,
     "rollup_returns": _ORACLE_ROLLUP,
     "semi_anti_customers": _ORACLE_SEMI_ANTI,
     "pipeline_extract_documents": _ORACLE_PIPELINE,

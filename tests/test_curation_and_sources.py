@@ -1,0 +1,155 @@
+"""Curation plan, salted aggregation, sources (binaryFile/base64/JSON), and
+the H10/H11 quality columns."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from documentprocessor_spark.operators.skew import salted_counts, salted_domain_stats
+from documentprocessor_spark.plans.curate import curate_documents
+from documentprocessor_spark.plans.pipeline import (
+    confidence_filter,
+    extract_from_pages,
+    with_quality_columns,
+)
+from documentprocessor_spark.schemas import PAGES
+from documentprocessor_spark.sources.readers import (
+    binary_dir_to_pages,
+    decode_base64_column,
+    read_json_results,
+    write_json_results,
+)
+from documentprocessor_spark.sources.synthetic import generate_corpus, render_html
+
+
+def test_salted_counts_equal_plain_groupby(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    salted = {
+        (r["event_type"]): (r["n_rows"], r["sum_value"])
+        for r in salted_counts(ev, "event_type", "event_id", "value").collect()
+    }
+    plain = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_domain_stats_handles_heavy_domain(spark):
+    rows = [
+        (u, ts, h, t, l)
+        for u, ts, h, t, l, *_ in generate_corpus(300, seed=5)
+    ]
+    pages = spark.createDataFrame(rows, PAGES)
+    stats = {r["domain"]: r["n_rows"] for r in salted_domain_stats(pages).collect()}
+    # ~20% of bulk urls land on the heavy domain by construction
+    assert stats["bigstore.example.com"] > 30
+    assert sum(stats.values()) == 300
+
+
+def test_curate_documents_filters_and_dedups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the fox is in the barn and it is fast"),
+            (2, "the fox is in the barn and it is fast"),   # exact dup -> dropped
+            (3, "the fox is in the barn and it is slow"),   # near dup of 1 -> dropped
+            (4, "der hund ist im haus und die katze auch"), # not en -> dropped
+            (5, "zzz qqq xxx"),                             # und -> dropped
+            (6, "a completely different english text about the spark engine and the sea"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in curate_documents(docs, min_quality=0.2).collect())
+    assert 1 in kept and 6 in kept
+    assert 2 not in kept and 4 not in kept and 5 not in kept
+
+
+def test_binary_dir_source(spark, tmp_path):
+    d = tmp_path / "htmldir"
+    d.mkdir()
+    (d / "a.html").write_bytes(render_html(["Hello World", "Total $5.00"]))
+    (d / "b.htm").write_bytes(render_html(["Other Page"]))
+    (d / "skip.txt").write_bytes(b"not html")
+    pages = binary_dir_to_pages(spark, str(d))
+    assert pages.count() == 2  # .txt filtered at the source listing
+    results = {r["url"].split("/")[-1]: r for r in extract_from_pages(pages).collect()}
+    assert "Hello World" in results["a.html"]["extracted_text"]
+    assert results["a.html"]["total_amount"]["value"] == "5.00"
+
+
+def test_base64_decode(spark):
+    import base64
+
+    payload = b"<p>Total $9.99</p>"
+    df = spark.createDataFrame(
+        [("u1", base64.b64encode(payload).decode())], ["url", "b64"]
+    )
+    out = decode_base64_column(df, "b64", "html").select("html").first()
+    assert bytes(out["html"]) == payload
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    rows = [
+        (u, ts, h, t, l) for u, ts, h, t, l, *_ in generate_corpus(10, seed=9)
+    ]
+    pages = spark.createDataFrame(rows, PAGES)
+    results = extract_from_pages(pages).select("url", "extracted_text", "status")
+    path = str(tmp_path / "json_out")
+    write_json_results(results, path)
+    back = read_json_results(spark, path)
+    assert {r["url"]: r["extracted_text"] for r in back.collect()} == {
+        r["url"]: r["extracted_text"] for r in results.collect()
+    }
+
+
+def test_h10_totals_verified_column(spark):
+    rows = [
+        (u, ts, h, t, l) for u, ts, h, t, l, *_ in generate_corpus(40, seed=13)
+    ]
+    pages = spark.createDataFrame(rows, PAGES)
+    res = with_quality_columns(extract_from_pages(pages))
+    got = res.select("url", "subtotal", "tax_amount", "total_amount",
+                     "totals_verified").collect()
+    from decimal import Decimal
+    checked_true = 0
+    for r in got:
+        s, t, tot = (
+            x["value"] if x else None
+            for x in (r["subtotal"], r["tax_amount"], r["total_amount"])
+        )
+        if None in (s, t, tot):
+            expected = False
+        else:
+            expected = abs((Decimal(s) + Decimal(t)) - Decimal(tot)) <= Decimal("0.02")
+        assert r["totals_verified"] == expected, r["url"]
+        checked_true += bool(expected)
+
+    # Crafted doc where extraction aligns: 'Total' keyword precedes any
+    # 'Subtotal' (which would shadow it — extract_total's substring match),
+    # and the backward windows of Subtotal/Tax are digit-free.
+    doc = "Total 3.30 x y Subtotal 3.00 a b Tax 0.30"
+    crafted = spark.createDataFrame(
+        [("v://ok", rows[0][1], None, doc, "en")], PAGES
+    )
+    r = with_quality_columns(extract_from_pages(crafted)).first()
+    assert r["total_amount"]["value"] == "3.30"
+    assert r["subtotal"]["value"] == "3.00"
+    assert r["tax_amount"]["value"] == "0.30"
+    assert r["totals_verified"] is True
+
+
+def test_h11_confidence_filter(spark):
+    rows = [
+        (u, ts, h, t, l) for u, ts, h, t, l, *_ in generate_corpus(10, seed=2)
+    ]
+    pages = spark.createDataFrame(rows, PAGES)
+    res = extract_from_pages(pages)
+    strict = confidence_filter(res, min_confidence=0.99)
+    # layout-model confidences are < 0.99, so every field is nulled
+    for r in strict.collect():
+        assert r["vendor_name"] is None and r["total_amount"] is None
+    loose = confidence_filter(res, min_confidence=0.0)
+    assert loose.where(F.col("vendor_name").isNotNull()).count() == 10
