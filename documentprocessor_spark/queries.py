@@ -688,6 +688,81 @@ _ORACLE_COSINE = """
     from ranked where rank <= 5
 """
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, exact (cosine >= 0.35 over the first
+    300 vectors — the synthetic embeddings top out near 0.46, so this yields
+    a real result set). The LSH-bucketed variant (operators.similarity) is
+    the scale path; tests pin it as a subset of this exact result."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 300)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(similarity.cosine_col(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+_ORACLE_EMB_NEAR_DUP = """
+    with e as (select vec_id, embedding from embeddings where vec_id < 300),
+    pairs as (
+        select a.vec_id as vec_a, b.vec_id as vec_b,
+            a.embedding as va, b.embedding as vb
+        from e a join e b on a.vec_id < b.vec_id
+    ),
+    expanded as (
+        select vec_a, vec_b,
+            cast(va[i + 1] as double) as x, cast(vb[i + 1] as double) as y
+        from pairs, lateral unnest(range(len(va))) as u(i)
+    ),
+    agg as (
+        select vec_a, vec_b,
+            sum(x * y) as dot, sqrt(sum(x * x)) as na, sqrt(sum(y * y)) as nb
+        from expanded group by vec_a, vec_b
+    )
+    select vec_a, vec_b, round(dot / (na * nb), 6) as cosine
+    from agg where round(dot / (na * nb), 6) >= 0.35
+"""
+
+
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH bucket join itself (dedup.minhash_candidate_pairs): documents
+    sharing at least one MinHash band."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs, "doc_id", "text", k=8, band_rows=2)
+
+
+_ORACLE_BAND_PAIRS = """
+    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
+    sh as (
+        select distinct doc_id,
+            toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] as shingle
+        from tok, lateral unnest(range(len(toks) - 2)) as u(i)
+    ),
+    seeds as (select unnest(range(8)) as seed),
+    sig as (
+        select doc_id, seed,
+            min(md5(cast(seed as varchar) || ':' || shingle)) as mh
+        from sh cross join seeds group by doc_id, seed
+    ),
+    bands as (
+        select doc_id, cast(seed // 2 as int) as band,
+            md5(string_agg(mh, '|' order by mh)) as band_hash
+        from sig group by doc_id, cast(seed // 2 as int)
+    )
+    select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as shared_bands
+    from bands a join bands b
+      on a.band = b.band and a.band_hash = b.band_hash and a.doc_id < b.doc_id
+    group by 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (TPC-H-ish) — scans, joins, aggs, windows, top-k
 # ---------------------------------------------------------------------------
@@ -967,6 +1042,8 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_counts": q_lang_counts,
     "similarity_cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "minhash_band_pairs": q_minhash_band_pairs,
     "tpch_q1_pricing_summary": q_pricing_summary,
     "tpch_q3_top_revenue": q_top_revenue_orders,
     "region_supplier_stats": q_region_supplier_stats,
@@ -994,6 +1071,8 @@ ORACLES = {
     "text_stats": _ORACLE_TEXT_STATS,
     "lang_id_counts": _ORACLE_LANG,
     "similarity_cosine_topk": _ORACLE_COSINE,
+    "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
+    "minhash_band_pairs": _ORACLE_BAND_PAIRS,
     "tpch_q1_pricing_summary": _ORACLE_Q1,
     "tpch_q3_top_revenue": _ORACLE_Q3,
     "region_supplier_stats": _ORACLE_REGION,

@@ -44,6 +44,50 @@ def start_extraction_stream(spark: SparkSession, input_dir: str,
     )
 
 
+def dedup_stream(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming first-seen-wins URL dedup: the native stateful operator
+    (dropDuplicates keeps per-key state bounded by the watermark)."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+
+
+_DOMAIN_STATE_SCHEMA = "n_pages long, total_bytes long"
+_DOMAIN_OUT_SCHEMA = "domain string, n_pages long, total_bytes long"
+
+
+def _domain_totals_fn(key, pdfs, state):
+    """applyInPandasWithState update function: per-domain running totals
+    accumulated across micro-batches (the custom-stateful-operator pattern —
+    SURVEY.md §2.9's streaming gap, filled Spark-natively)."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += int(pdf["html_bytes"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"domain": [key[0]], "n_pages": [n], "total_bytes": [total]}
+    )
+
+
+def domain_running_totals(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming aggregation: per-domain page count + byte
+    totals maintained in executor state across micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = pages_stream.select(
+        F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1).alias("domain"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("html_bytes"),
+    )
+    return prepared.groupBy("domain").applyInPandasWithState(
+        _domain_totals_fn,
+        outputStructType=_DOMAIN_OUT_SCHEMA,
+        stateStructType=_DOMAIN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_domain_counts(pages_stream: DataFrame,
                            window: str = "10 minutes",
                            watermark: str = "30 minutes") -> DataFrame:
