@@ -58,7 +58,7 @@ def _to_tuples(words) -> list[tuple]:
 def _extract_one(words) -> dict:
     tuples = _to_tuples(words)
     try:
-        fields = ref.extract_fields(tuples)
+        fields = ref.extract_fields_fast(tuples)
         return {
             "extracted_text": ref.raw_text(tuples),
             **fields,
@@ -82,7 +82,7 @@ def extract_fields_udf(words_series: pd.Series) -> pd.DataFrame:
 
 def _extract_one_from_tuples(tuples: list[tuple]) -> dict:
     try:
-        fields = ref.extract_fields(tuples)
+        fields = ref.extract_fields_fast(tuples)
         return {
             "extracted_text": ref.raw_text(tuples),
             **fields,

@@ -35,7 +35,9 @@ BLOCK_TAGS = frozenset(
     "p div li h1 h2 h3 h4 h5 h6 td th tr table ul ol main article section "
     "blockquote pre br hr form".split()
 )
-SKIP_TAGS = frozenset(("script", "style", "noscript", "svg", "template", "title"))
+SKIP_TAGS = frozenset(
+    ("script", "style", "noscript", "svg", "template", "title", "textarea")
+)
 BOILER_CONTAINERS = frozenset(("nav", "header", "footer", "aside"))
 MAX_LINK_DENSITY = 1.0 / 3.0
 
@@ -101,82 +103,98 @@ _TAG_RE = _re.compile(
 _RAWTEXT_CLOSER = {t: f"</{t}" for t in ("script", "style", "title", "noscript", "svg", "template", "textarea")}
 
 
+# Pre-pass: excise well-formed raw-text elements (script/style/…) in one
+# C-level sub; the first '</name[^>]*>' terminates, matching the scanner's
+# find('</name') behaviour. Unterminated openers survive and the main loop
+# truncates at them, as before.
+_RAWTEXT_SUB_RE = _re.compile(
+    r"<(script|style|noscript|svg|template|textarea|title)(?=[\s/>])"
+    r"(?:\"[^\"]*\"|'[^']*'|[^>])*>.*?</\1[^>]*>",
+    _re.DOTALL | _re.IGNORECASE,
+)
+
+_BLOCKY = BLOCK_TAGS | BOILER_CONTAINERS
+
+
 def _fast_blocks(html: str) -> list[tuple[str, int, int, bool]]:
-    """Regex-based single-pass block segmentation — same output contract as
-    _BlockCollector (text, anchor_chars, total_chars, in_boiler) but ~4x
+    """Regex-based block segmentation — same output contract as
+    _BlockCollector (text, anchor_chars, total_chars, in_boiler) but much
     faster (the hot path of the extraction kernel; the HTMLParser-based
     collector remains the reference implementation, asserted equivalent in
-    tests/test_html_pipeline.py)."""
+    tests/test_html_pipeline.py). One sub pass removes raw-text elements,
+    one finditer pass walks the remaining tags."""
+    html = _RAWTEXT_SUB_RE.sub("", html)
     blocks: list[tuple[str, int, int, bool]] = []
     buf: list[str] = []
+    buf_append = buf.append
     anchor_chars = 0
     boiler_depth = 0
     anchor_depth = 0
     pos = 0
-    lower = None  # lazily-lowered copy for raw-text closers
 
     def flush():
-        nonlocal buf, anchor_chars
+        nonlocal buf, buf_append, anchor_chars
         raw = "".join(buf)
         text = " ".join(raw.split())
         if text:
             blocks.append((text, anchor_chars, len(raw), boiler_depth > 0))
         buf = []
+        buf_append = buf.append
         anchor_chars = 0
 
-    def data(chunk: str):
-        nonlocal anchor_chars
-        if not chunk:
-            return
-        if "&" in chunk:
-            chunk = _unescape(chunk)
-        buf.append(chunk)
-        if anchor_depth:
-            anchor_chars += len(chunk)
-
-    n = len(html)
-    while pos < n:
-        m = _TAG_RE.search(html, pos)
-        if not m:
-            data(html[pos:])
-            break
-        data(html[pos : m.start()])
+    truncated = False
+    for m in _TAG_RE.finditer(html):
+        if m.start() > pos:
+            chunk = html[pos : m.start()]
+            if "&" in chunk:
+                chunk = _unescape(chunk)
+            buf_append(chunk)
+            if anchor_depth:
+                anchor_chars += len(chunk)
         pos = m.end()
         tag = m.group(2)
-        if tag is None:  # comment
+        if tag is None:  # comment / declaration
             continue
         tag = tag.lower()
         closing = m.group(1) == "/"
         if not closing and tag in _RAWTEXT_CLOSER:
-            # skip raw-text element content wholesale
-            if lower is None:
-                lower = html.lower()
-            end = lower.find(_RAWTEXT_CLOSER[tag], pos)
-            if end == -1:
-                break
-            gt = html.find(">", end)
-            pos = n if gt == -1 else gt + 1
-            continue
-        if tag in BLOCK_TAGS or tag in BOILER_CONTAINERS:
+            # only unterminated raw-text openers survive the sub pre-pass:
+            # drop everything after, like the scanner's failed find()
+            truncated = True
+            break
+        if tag in _BLOCKY:
             flush()
-        if tag in BOILER_CONTAINERS:
-            if closing:
-                if boiler_depth:
-                    boiler_depth -= 1
-            else:
-                boiler_depth += 1
+            if tag in BOILER_CONTAINERS:
+                if closing:
+                    if boiler_depth:
+                        boiler_depth -= 1
+                else:
+                    boiler_depth += 1
         elif tag == "a":
             if closing:
                 if anchor_depth:
                     anchor_depth -= 1
             else:
                 anchor_depth += 1
+    if not truncated and pos < len(html):
+        chunk = html[pos:]
+        if "&" in chunk:
+            chunk = _unescape(chunk)
+        buf_append(chunk)
+        if anchor_depth:
+            anchor_chars += len(chunk)
     flush()
     return blocks
 
 
 def _parser_blocks(html: str) -> list[tuple[str, int, int, bool]]:
-    """stdlib-HTMLParser reference implementation of block segmentation."""
+    """stdlib-HTMLParser reference implementation of block segmentation.
+
+    Equivalence with the fast scanner holds on the supported dialect
+    (well-formed raw-text closers); on pathological closers like
+    ``</script2>`` HTMLParser's CDATA mode differs — there the FAST scanner
+    is the engine's authoritative behaviour (it is the deployed kernel and
+    is deterministic; this implementation exists for cross-checking)."""
     collector = _BlockCollector()
     try:
         collector.feed(html)

@@ -334,6 +334,173 @@ def extract_fields(words):
     }
 
 
+# Compiled substring-alternation twins of the keyword tuples: a single
+# C-level search replaces the any(k in low ...) generator; `k in low` for a
+# literal k is exactly regex search of the escaped literal, so semantics are
+# unchanged. Keep these in sync with the tuples above.
+_TOTAL_KW_RE = re.compile("|".join(map(re.escape, TOTAL_KEYWORDS)))
+_SUBTOTAL_KW_RE = re.compile("|".join(map(re.escape, SUBTOTAL_KEYWORDS)))
+_TAX_KW_RE = re.compile("|".join(map(re.escape, TAX_KEYWORDS)))
+_SKIP_KW_RE = re.compile("|".join(map(re.escape, LINE_SKIP_KEYWORDS)))
+
+
+def _line_items_fast(words):
+    """extract_line_items with a compiled skip test; logic otherwise
+    identical (field_extractor.py:176-281) — lower(join(texts)) ==
+    join(lowers), so the regex sees exactly the reference's line_text."""
+    items = []
+    for line in group_lines(words):
+        if len(line) < 2:
+            continue
+        line_text = " ".join(w[TEXT] for w in line).lower()
+        if _SKIP_KW_RE.search(line_text):
+            continue
+        desc_parts = []
+        quantity = None
+        unit_price = None
+        line_total = None
+        for w in line:
+            text = w[TEXT].strip()
+            if PRICE_FULLMATCH_RE.match(text):
+                value = float(text.replace("$", "").replace(",", ""))
+                if line_total is None:
+                    line_total = value
+                elif unit_price is None:
+                    unit_price = line_total
+                    line_total = value
+            else:
+                qm = QUANTITY_RE.match(text)
+                if qm:
+                    quantity = int(qm.group(1) or qm.group(2))
+                else:
+                    desc_parts.append(text)
+        if not desc_parts or (line_total is None and unit_price is None):
+            continue
+        if unit_price is None and quantity and line_total:
+            unit_price = round(line_total / quantity, 2)
+        elif unit_price is None:
+            unit_price = line_total
+        if line_total is None and quantity and unit_price:
+            line_total = round(unit_price * quantity, 2)
+        elif line_total is None:
+            line_total = unit_price
+        items.append(
+            {
+                "description": " ".join(desc_parts),
+                "quantity": quantity or 1,
+                "unit_price": unit_price,
+                "line_total": line_total,
+                "box": _box_dict(
+                    min(w[X0] for w in line),
+                    min(w[Y0] for w in line),
+                    max(w[X1] for w in line),
+                    max(w[Y1] for w in line),
+                ),
+                "confidence": sum(w[CONF] for w in line) / len(line),
+            }
+        )
+    return items
+
+
+def extract_fields_fast(words):
+    """Semantically identical to :func:`extract_fields`, restructured for the
+    hot kernel: lowercased texts and amount-regex matches are computed once
+    per word and shared by the total/subtotal/tax scans (the reference
+    recomputes them per extractor — same results, 3x the regex work), and
+    keyword containment tests run as compiled alternation regexes.
+    Equality with extract_fields is pinned by tests over every fixture and a
+    500-doc corpus; any semantic change must land in BOTH functions.
+    """
+    if not words:
+        return {
+            "vendor_name": None,
+            "date": None,
+            "total_amount": None,
+            "subtotal": None,
+            "tax_amount": None,
+            "currency": None,
+            "merchant_address": None,
+            "line_items": [],
+        }
+
+    texts = [w[TEXT] for w in words]
+    lowers = [t.lower() for t in texts]
+    n = len(words)
+    amount_search = AMOUNT_RE.search
+    amatches = [amount_search(t) for t in texts]
+
+    def windowed(kw_re, lo_off):
+        for i, low in enumerate(lowers):
+            if kw_re.search(low):
+                for j in range(max(0, i + lo_off), min(n, i + 5)):
+                    m = amatches[j]
+                    if m:
+                        wj = words[j]
+                        return _field(
+                            m.group(1).replace(",", ""), wj[CONF],
+                            _box_dict(wj[X0], wj[Y0], wj[X1], wj[Y1]),
+                        )
+        return None
+
+    # total: forward window, Decimal-parsed, zero skipped by truthiness
+    total = None
+    for i, low in enumerate(lowers):
+        if _TOTAL_KW_RE.search(low):
+            for j in range(i, min(i + 5, n)):
+                m = amatches[j]
+                if m:
+                    try:
+                        amount = Decimal(m.group(1).replace(",", ""))
+                    except InvalidOperation:
+                        continue
+                    if amount:
+                        wj = words[j]
+                        total = _field(
+                            str(amount), wj[CONF],
+                            _box_dict(wj[X0], wj[Y0], wj[X1], wj[Y1]),
+                        )
+                        break
+            if total:
+                break
+
+    full_text = " ".join(texts)
+    date = None
+    for pat in DATE_PATTERNS:
+        m = pat.search(full_text)
+        if not m:
+            continue
+        date_str = m.group(1)
+        for k, t in enumerate(texts):
+            if date_str in t or t in date_str:
+                w = words[k]
+                date = _field(
+                    date_str, w[CONF], _box_dict(w[X0], w[Y0], w[X1], w[Y1])
+                )
+                break
+        if date:  # word-locate failure falls through to the NEXT pattern,
+            break  # exactly like the reference's loop structure
+
+    if "$" in full_text or "USD" in full_text:
+        currency = _field("USD", 0.9, None)
+    elif "€" in full_text or "EUR" in full_text:
+        currency = _field("EUR", 0.9, None)
+    elif "£" in full_text or "GBP" in full_text:
+        currency = _field("GBP", 0.9, None)
+    else:
+        currency = None
+
+    return {
+        "vendor_name": extract_vendor(words),
+        "date": date,
+        "total_amount": total,
+        "subtotal": windowed(_SUBTOTAL_KW_RE, -2),
+        "tax_amount": windowed(_TAX_KW_RE, -2),
+        "currency": currency,
+        "merchant_address": None,
+        "line_items": _line_items_fast(words),
+    }
+
+
 # --- model path: BIO entity merge (M2) + entity save (M3) + merge (H12) ----
 
 # /root/reference/Ocr/src/models/layoutlmv3.py:16-30
