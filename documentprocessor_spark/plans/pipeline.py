@@ -117,6 +117,22 @@ def _committed_urls(spark: SparkSession, results_path: str) -> DataFrame | None:
         return None  # first run: nothing committed yet
 
 
+def _committed_count(spark: SparkSession, manifest_path: str) -> int:
+    """Committed row count from the manifest (a few rows per run-bucket) —
+    never scans the results table."""
+    try:
+        row = spark.read.parquet(manifest_path).agg(F.sum("rows")).first()
+        return int(row[0] or 0)
+    except Exception:
+        return 0
+
+
+# Below this many committed urls the resume anti-join broadcasts the
+# committed set; above it, a shuffled join (AQE-planned) — broadcasting a
+# 10^9-url set would OOM the driver.
+BROADCAST_RESUME_LIMIT = 5_000_000
+
+
 def run_job(
     spark: SparkSession,
     pages: DataFrame,
@@ -136,8 +152,11 @@ def run_job(
     if resume:
         committed = _committed_urls(spark, results_path)
         if committed is not None:
+            n_committed = _committed_count(spark, manifest_path)
+            if n_committed <= BROADCAST_RESUME_LIMIT:
+                committed = F.broadcast(committed)
             before = todo.count()
-            todo = todo.join(F.broadcast(committed), "url", "left_anti")
+            todo = todo.join(committed, "url", "left_anti")
             skipped = before - todo.count()
 
     t0 = time.monotonic()
