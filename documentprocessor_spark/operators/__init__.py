@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     html_parse,
     imageprep,
     model_infer,
+    ocr_kernel,
     multimodal,
     similarity,
     skew,
