@@ -36,15 +36,22 @@ SIMHASH_BITS = 16
 
 def shingles_col(text: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
     """Distinct word n-gram shingles of `text` (native, codegen'd):
-    transform over a sequence of start offsets + slice + concat."""
+    transform over a sequence of start offsets + slice + concat.
+
+    Documents shorter than n tokens yield an empty array — guarded
+    explicitly because F.sequence(1, 0) produces the DESCENDING [1, 0] and
+    slice(…, 0, n) throws, killing the whole job on one short doc."""
     toks = F.split(text, " ")
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
+    n_sh = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        n_sh >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str,

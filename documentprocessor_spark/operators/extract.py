@@ -55,31 +55,6 @@ def _to_tuples(words) -> list[tuple]:
     ]
 
 
-def _extract_one(words) -> dict:
-    tuples = _to_tuples(words)
-    try:
-        fields = ref.extract_fields_fast(tuples)
-        return {
-            "extracted_text": ref.raw_text(tuples),
-            **fields,
-            "status": "done",
-            "error": None,
-        }
-    except Exception as e:  # per-document failure, reference-style
-        return {
-            "extracted_text": None,
-            **{name: None for name in SCALAR_FIELDS},
-            "line_items": [],
-            "status": "failed",
-            "error": str(e),
-        }
-
-
-@pandas_udf(EXTRACT_STRUCT)
-def extract_fields_udf(words_series: pd.Series) -> pd.DataFrame:
-    return pd.DataFrame([_extract_one(words) for words in words_series])
-
-
 def _extract_one_from_tuples(tuples: list[tuple]) -> dict:
     try:
         fields = ref.extract_fields_fast(tuples)
@@ -97,6 +72,16 @@ def _extract_one_from_tuples(tuples: list[tuple]) -> dict:
             "status": "failed",
             "error": str(e),
         }
+
+
+
+def _extract_one(words) -> dict:
+    return _extract_one_from_tuples(_to_tuples(words))
+
+
+@pandas_udf(EXTRACT_STRUCT)
+def extract_fields_udf(words_series: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([_extract_one(words) for words in words_series])
 
 
 def fused_extract_kernel(batches):

@@ -113,8 +113,18 @@ def token2json(sequence: str):
 
 
 def _parse_amount(value) -> str | None:
-    """donut.py:306-313: strip everything but digits and dots."""
+    """donut.py:306-313: strip everything but digits and dots. Falsy check
+    (``if not value``) — a numeric 0 yields None on the Donut path."""
     if not value:
+        return None
+    cleaned = _AMOUNT_CLEAN_RE.sub("", str(value))
+    return cleaned if cleaned else None
+
+
+def _clean_amount(value) -> str | None:
+    """idefics2.py:350-356: same cleaning but None-check only — a numeric 0
+    yields '0' on the IDEFICS2 path (the two references differ here)."""
+    if value is None:
         return None
     cleaned = _AMOUNT_CLEAN_RE.sub("", str(value))
     return cleaned if cleaned else None
@@ -149,13 +159,12 @@ def parse_cord_output(sequence: str) -> dict:
     try:
         parsed = token2json(sequence)
         if isinstance(parsed, dict):
-            menu = parsed.get("menu", [])
             if "menu" in parsed:
-                if isinstance(menu, dict):
-                    menu = [menu]
-                for item in menu:
-                    if not isinstance(item, dict):
-                        continue
+                # NOTE: iterated as-is, like the reference (donut.py:246).
+                # A single-item menu parses to a dict; iterating it yields
+                # string keys, item.get raises AttributeError, and the whole
+                # parse drops to the regex fallback — faithfully reproduced.
+                for item in parsed.get("menu", []):
                     line_item = {
                         "description": item.get("nm", ""),
                         "quantity": _parse_number(item.get("cnt", "1")),
@@ -235,15 +244,15 @@ def parse_idefics_response(response: str) -> dict:
                 entities["date"] = _amount_field(str(parsed["date"]), 0.8)
             for key in ("total_amount", "subtotal", "tax_amount"):
                 if parsed.get(key):
-                    entities[key] = _amount_field(_parse_amount(parsed[key]), 0.8)
+                    entities[key] = _amount_field(_clean_amount(parsed[key]), 0.8)
             if isinstance(parsed.get("line_items"), list):
                 for item in parsed["line_items"]:
                     if isinstance(item, dict):
                         line_item = {
                             "description": item.get("description", ""),
                             "quantity": _parse_int(item.get("quantity", 1)),
-                            "unit_price": _parse_amount(item.get("unit_price", "")),
-                            "line_total": _parse_amount(item.get("line_total", "")),
+                            "unit_price": _clean_amount(item.get("unit_price", "")),
+                            "line_total": _clean_amount(item.get("line_total", "")),
                             "confidence": 0.8,
                             "box": None,
                         }

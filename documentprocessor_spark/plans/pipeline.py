@@ -108,13 +108,52 @@ def results_to_spans(results: DataFrame) -> DataFrame:
     )
 
 
-def _committed_urls(spark: SparkSession, results_path: str) -> DataFrame | None:
+def _manifest_run_ids(spark: SparkSession, manifest_path: str) -> DataFrame | None:
     try:
-        return spark.read.parquet(results_path).select("url").where(
-            F.col("url").isNotNull()
-        )
+        return spark.read.parquet(manifest_path).select("run_id").distinct()
     except Exception:
-        return None  # first run: nothing committed yet
+        return None  # first run: no manifest yet
+
+
+def _committed_urls(
+    spark: SparkSession, results_path: str, manifest_path: str
+) -> DataFrame | None:
+    """COMMITTED urls = results rows whose run_id is acknowledged in the
+    manifest. The manifest is written LAST, so it is the commit marker: a
+    run killed after the results write but before the manifest write leaves
+    orphan result rows that are NOT treated as committed — they are
+    reprocessed and the orphans are superseded (readers go through
+    read_committed_results, which applies the same filter)."""
+    runs = _manifest_run_ids(spark, manifest_path)
+    if runs is None:
+        return None
+    try:
+        results = spark.read.parquet(results_path)
+    except Exception:
+        return None
+    return (
+        results.select("url", "run_id")
+        .join(F.broadcast(runs), "run_id", "left_semi")
+        .select("url")
+    )
+
+
+def read_committed_results(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The consumer-facing view of the results table: only rows from runs
+    the manifest acknowledged, with orphan duplicates from crashed runs
+    removed (first committed run per url wins)."""
+    results = spark.read.parquet(f"{output_dir}/results")
+    runs = _manifest_run_ids(spark, f"{output_dir}/manifest")
+    if runs is not None:
+        results = results.join(F.broadcast(runs), "run_id", "left_semi")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy("run_id")
+    return (
+        results.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def _committed_count(spark: SparkSession, manifest_path: str) -> int:
@@ -140,8 +179,13 @@ def run_job(
     n_buckets: int = DEFAULT_BUCKETS,
     resume: bool = True,
     run_id: str | None = None,
+    collect_stats: bool = True,
 ) -> dict:
-    """Execute the extraction job with resume + manifest. Returns run stats."""
+    """Execute the extraction job with resume + manifest. Returns run stats.
+
+    ``collect_stats=False`` skips the input/skip counting jobs (each is a
+    full scan + anti-join) — the setting for petabyte corpora, where the
+    manifest already carries the committed totals."""
     run_id = run_id or uuid.uuid4().hex[:12]
     results_path = f"{output_dir}/results"
     spans_path = f"{output_dir}/spans"
@@ -150,14 +194,15 @@ def run_job(
     todo = pages
     skipped = 0
     if resume:
-        committed = _committed_urls(spark, results_path)
+        committed = _committed_urls(spark, results_path, manifest_path)
         if committed is not None:
             n_committed = _committed_count(spark, manifest_path)
             if n_committed <= BROADCAST_RESUME_LIMIT:
                 committed = F.broadcast(committed)
-            before = todo.count()
             todo = todo.join(committed, "url", "left_anti")
-            skipped = before - todo.count()
+            if collect_stats:
+                before = pages.count()
+                skipped = before - todo.count()
 
     t0 = time.monotonic()
     results = with_url_bucket(extract_from_pages(todo, n_buckets), n_buckets).withColumn(
@@ -187,7 +232,8 @@ def run_job(
     )
     manifest.write.mode("append").parquet(manifest_path)
 
-    n_done = spark.read.parquet(results_path).count()
+    # committed total from the manifest aggregate — no results-table scan
+    n_done = _committed_count(spark, manifest_path)
     return {
         "run_id": run_id,
         "results_path": results_path,

@@ -679,8 +679,11 @@ _ORACLE_COSINE = """
     ranked as (
         select qid as query_id, cid as vec_id,
             round(dot / (nq * nc), 6) as cosine,
+            -- rank by the ROUNDED cosine, matching the Spark window's key:
+            -- unrounded ranking can diverge on >6dp ties
             row_number() over (
-                partition by qid order by dot / (nq * nc) desc, cid asc
+                partition by qid
+                order by round(dot / (nq * nc), 6) desc, cid asc
             ) as rank
         from agg
     )

@@ -227,6 +227,17 @@ def detect_currency(words):
     return None
 
 
+# Compiled substring-alternation twins of the keyword tuples: a single
+# C-level search replaces the any(k in low ...) generator; `k in low` for a
+# literal k is exactly regex search of the escaped literal, so semantics are
+# unchanged. Keep these in sync with the tuples above.
+_TOTAL_KW_RE = re.compile("|".join(map(re.escape, TOTAL_KEYWORDS)))
+_SUBTOTAL_KW_RE = re.compile("|".join(map(re.escape, SUBTOTAL_KEYWORDS)))
+_TAX_KW_RE = re.compile("|".join(map(re.escape, TAX_KEYWORDS)))
+_SKIP_KW_RE = re.compile("|".join(map(re.escape, LINE_SKIP_KEYWORDS)))
+
+
+
 def group_lines(words, y_threshold=LINE_Y_THRESHOLD):
     """Cluster words into visual lines.
 
@@ -253,20 +264,22 @@ def group_lines(words, y_threshold=LINE_Y_THRESHOLD):
 
 
 def extract_line_items(words):
-    """Per-line item parse. field_extractor.py:176-281.
+    """Per-line item parse. field_extractor.py:176-281. THE single
+    implementation — used by both extract_fields and extract_fields_fast.
 
-    Per line of >=2 words, skipping lines containing any stop keyword:
-    classify each word — full-match price (1st → line_total; 2nd shifts the
-    1st into unit_price), quantity ``2x``/``x2``, else description. Derive
-    the missing price via round(·, 2) arithmetic. Emit only if a description
-    and at least one price were found.
+    Per line of >=2 words, skipping lines containing any stop keyword (the
+    compiled alternation regex is exactly the reference's any-containment
+    test): classify each word — full-match price (1st → line_total; 2nd
+    shifts the 1st into unit_price), quantity ``2x``/``x2``, else
+    description. Derive the missing price via round(·, 2) arithmetic. Emit
+    only if a description and at least one price were found.
     """
     items = []
     for line in group_lines(words):
         if len(line) < 2:
             continue
         line_text = " ".join(w[TEXT] for w in line).lower()
-        if any(k in line_text for k in LINE_SKIP_KEYWORDS):
+        if _SKIP_KW_RE.search(line_text):
             continue
         desc_parts = []
         quantity = None
@@ -332,74 +345,6 @@ def extract_fields(words):
         "merchant_address": None,
         "line_items": extract_line_items(words),
     }
-
-
-# Compiled substring-alternation twins of the keyword tuples: a single
-# C-level search replaces the any(k in low ...) generator; `k in low` for a
-# literal k is exactly regex search of the escaped literal, so semantics are
-# unchanged. Keep these in sync with the tuples above.
-_TOTAL_KW_RE = re.compile("|".join(map(re.escape, TOTAL_KEYWORDS)))
-_SUBTOTAL_KW_RE = re.compile("|".join(map(re.escape, SUBTOTAL_KEYWORDS)))
-_TAX_KW_RE = re.compile("|".join(map(re.escape, TAX_KEYWORDS)))
-_SKIP_KW_RE = re.compile("|".join(map(re.escape, LINE_SKIP_KEYWORDS)))
-
-
-def _line_items_fast(words):
-    """extract_line_items with a compiled skip test; logic otherwise
-    identical (field_extractor.py:176-281) — lower(join(texts)) ==
-    join(lowers), so the regex sees exactly the reference's line_text."""
-    items = []
-    for line in group_lines(words):
-        if len(line) < 2:
-            continue
-        line_text = " ".join(w[TEXT] for w in line).lower()
-        if _SKIP_KW_RE.search(line_text):
-            continue
-        desc_parts = []
-        quantity = None
-        unit_price = None
-        line_total = None
-        for w in line:
-            text = w[TEXT].strip()
-            if PRICE_FULLMATCH_RE.match(text):
-                value = float(text.replace("$", "").replace(",", ""))
-                if line_total is None:
-                    line_total = value
-                elif unit_price is None:
-                    unit_price = line_total
-                    line_total = value
-            else:
-                qm = QUANTITY_RE.match(text)
-                if qm:
-                    quantity = int(qm.group(1) or qm.group(2))
-                else:
-                    desc_parts.append(text)
-        if not desc_parts or (line_total is None and unit_price is None):
-            continue
-        if unit_price is None and quantity and line_total:
-            unit_price = round(line_total / quantity, 2)
-        elif unit_price is None:
-            unit_price = line_total
-        if line_total is None and quantity and unit_price:
-            line_total = round(unit_price * quantity, 2)
-        elif line_total is None:
-            line_total = unit_price
-        items.append(
-            {
-                "description": " ".join(desc_parts),
-                "quantity": quantity or 1,
-                "unit_price": unit_price,
-                "line_total": line_total,
-                "box": _box_dict(
-                    min(w[X0] for w in line),
-                    min(w[Y0] for w in line),
-                    max(w[X1] for w in line),
-                    max(w[Y1] for w in line),
-                ),
-                "confidence": sum(w[CONF] for w in line) / len(line),
-            }
-        )
-    return items
 
 
 def extract_fields_fast(words):
@@ -497,7 +442,7 @@ def extract_fields_fast(words):
         "tax_amount": windowed(_TAX_KW_RE, -2),
         "currency": currency,
         "merchant_address": None,
-        "line_items": _line_items_fast(words),
+        "line_items": extract_line_items(words),
     }
 
 

@@ -110,3 +110,21 @@ def test_spark_parse_stage(spark):
     assert [li["description"] for li in out["d1"]["line_items"]] == ["Milk", "Bread"]
     assert out["d2"]["vendor_name"]["value"] == "SHOP"
     assert out["d2"]["total_amount"]["value"] == "5.00"
+
+
+def test_single_item_menu_falls_back_like_reference():
+    """A dict-valued (single-item, no <sep/>) menu makes the reference's
+    iteration raise and drop to the regex fallback — reproduced exactly."""
+    seq = ("<s_menu><s_nm>Milk</s_nm><s_price>$3.99</s_price></s_menu>"
+           "<s_total><s_total_price>Total: 3.99</s_total_price></s_total>")
+    ents = parse_cord_output(seq)
+    assert ents["line_items"] == []          # no conf-0.8 item
+    assert ents["total_amount"]["confidence"] == 0.6  # fallback regex path
+
+
+def test_idefics_zero_amount_kept():
+    """IDEFICS2 _clean_amount is None-gated: numeric 0 -> '0' (the Donut
+    path's falsy gate would drop it)."""
+    resp = '{"line_items": [{"description": "Promo", "unit_price": 0}]}'
+    ents = parse_idefics_response(resp)
+    assert ents["line_items"][0]["unit_price"] == "0"
