@@ -88,6 +88,37 @@ def test_pipeline_text_byte_identical_to_golden(spark, corpus_pages):
         assert results[url]["line_items"] == golden["line_items"], url
 
 
+def test_crashed_run_is_reprocessed_not_lost(spark, corpus_pages, tmp_path):
+    """Manifest-as-commit-marker semantics: result rows whose run never
+    reached the manifest write are NOT treated as committed — the documents
+    are reprocessed on resume, and read_committed_results hides orphans."""
+    from documentprocessor_spark.plans.pipeline import (
+        read_committed_results,
+        run_job,
+        with_url_bucket,
+        extract_from_pages,
+    )
+
+    out = str(tmp_path / "crashjob")
+    # simulate a run that died after the results write: write result rows
+    # with a run_id that never reaches the manifest
+    partial = with_url_bucket(
+        extract_from_pages(corpus_pages.limit(10), 4), 4
+    ).withColumn("run_id", F.lit("deadrun000000"))
+    partial.write.mode("append").partitionBy("url_bucket").parquet(f"{out}/results")
+
+    stats = run_job(spark, corpus_pages, out, n_buckets=4)
+    # nothing was considered committed -> nothing skipped, all reprocessed
+    assert stats["rows_skipped_resume"] == 0
+    assert stats["rows_total_committed"] == corpus_pages.count()
+    # raw results contain orphan duplicates; the committed view does not
+    raw = spark.read.parquet(f"{out}/results")
+    assert raw.count() == corpus_pages.count() + 10
+    committed = read_committed_results(spark, out)
+    assert committed.count() == corpus_pages.count()
+    assert committed.where(F.col("run_id") == "deadrun000000").count() == 0
+
+
 def test_run_job_resume_skips_committed(spark, corpus_pages, tmp_path):
     out = str(tmp_path / "job")
     first = run_job(spark, corpus_pages.limit(30), out, n_buckets=8)
