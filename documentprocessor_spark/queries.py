@@ -4,8 +4,11 @@ on the same parquet tables.
 
 Cross-engine determinism rules used throughout:
 - hashes via md5/sha2 only (identical in both engines; never Python hash());
-- float aggregates rounded (6 dp scores / cosines, 2 dp money) AFTER casting
-  to double, so double-rounding noise is absorbed;
+- MONEY SUMS in exact integer cents (see _disc_price_cents) — summing
+  doubles then rounding to 2dp is order-dependent across engines and flips
+  half-cent boundaries (observed at sf0.1);
+- other float aggregates rounded (6 dp scores / cosines) AFTER casting to
+  double, so double-rounding noise is absorbed;
 - int division/truncation via floor() on non-negative values only;
 - every computed column aliased identically in Spark and SQL (the driver
   sorts columns by name before value-hashing);
@@ -771,6 +774,21 @@ _ORACLE_BAND_PAIRS = """
 # ---------------------------------------------------------------------------
 
 
+
+# Money sums are computed in EXACT integer cents on both engines: summing
+# doubles and rounding to 2dp is order-dependent (Spark's partition order vs
+# DuckDB's scan order) and flips half-cent boundaries — observed at sf0.1.
+# extendedprice has 2 decimal digits and discount 2, so
+# round(p*100) * (100 - round(d*100)) is an exact int64 per row; the sum is
+# exact and both engines divide once at the end.
+
+
+def _disc_price_cents():
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    return p * (F.lit(100) - d)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the partial-aggregation workhorse."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -779,10 +797,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+             / 100.0).alias("sum_base_price"),
+            F.round(F.sum(_disc_price_cents()) / 10000.0, 2).alias(
+                "sum_disc_price"
+            ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -792,8 +811,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_Q1 = """
     select l_returnflag, l_linestatus,
         round(sum(l_quantity), 2) as sum_qty,
-        round(sum(l_extendedprice), 2) as sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+        sum(cast(round(l_extendedprice * 100) as bigint)) / 100.0
+            as sum_base_price,
+        round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) as sum_disc_price,
         round(avg(l_quantity), 6) as avg_qty,
         count(*) as count_order
     from lineitem
@@ -812,9 +832,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey", "c_mktsegment")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(_disc_price_cents()) / 10000.0, 2).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -823,7 +841,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_Q3 = """
     select o_orderkey, c_mktsegment,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) as revenue
     from lineitem
     join orders on l_orderkey = o_orderkey
     join customer on o_custkey = c_custkey
@@ -864,9 +882,7 @@ def q_top_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     layoutlmv3.py:498-500): per supplier keep the top-revenue part."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        F.round(F.sum(_disc_price_cents()) / 10000.0, 2).alias("revenue")
     )
     w = Window.partitionBy("l_suppkey").orderBy(
         F.col("revenue").desc(), F.col("l_partkey").asc()
@@ -881,7 +897,7 @@ def q_top_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_TOP_PART = """
     with rev as (
         select l_suppkey, l_partkey,
-            round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) as revenue
         from lineitem group by l_suppkey, l_partkey
     ),
     ranked as (
