@@ -88,6 +88,36 @@ def confidence_filter(results: DataFrame, min_confidence: float = 0.5) -> DataFr
     return out
 
 
+def extract_from_pages_with_model(pages: DataFrame) -> DataFrame:
+    """The reference's FULL pipeline shape (skip_model=False,
+    receipt_processor.py:156-219): parse → 0-1000 normalize → model token
+    classification (M1, stubbed) → BIO merge (M2/M3) → model-first merge
+    with heuristic backfill (H12).
+
+    Three vectorized stages; line_items carry the model shape
+    (description/confidence/box — quantities only come from the heuristic
+    fallback, matching the reference's model-path output).
+    """
+    from ..functions.boxes import normalize_words_col, raw_text_col
+    from ..layout import PAGE_H, PAGE_W
+    from ..operators.html_parse import parse_pages
+    from ..operators.model_infer import model_extract
+
+    df = parse_pages(pages.select("url", "html", "text"))
+    df = df.withColumn("extracted_text", raw_text_col(F.col("words")))
+    df = df.withColumn(
+        "words",
+        normalize_words_col(F.col("words"), F.lit(PAGE_W), F.lit(PAGE_H)),
+    )
+    df = model_extract(df)
+    return df.select(
+        "url",
+        "extracted_text",
+        *[F.col(f"model_{name}").alias(name) for name in SCALAR_FIELDS],
+        F.col("model_line_items").alias("line_items"),
+    )
+
+
 def results_to_spans(results: DataFrame) -> DataFrame:
     """Wide results → long spans table (url, field, value, confidence, box)."""
     span_structs = F.array(

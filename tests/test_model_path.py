@@ -154,3 +154,43 @@ def test_model_extract_pipeline_runs(spark):
             assert got[f"model_{f}"] is None, f
         else:
             assert got[f"model_{f}"]["value"] == expected["value"], f
+
+
+def test_full_model_pipeline_over_html(spark):
+    """pages(html) → parse → normalize → M1-stub → M2/M3 → H12, end to end,
+    vs the same chain composed in pure Python."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from documentprocessor_spark.layout import PAGE_H, PAGE_W
+    from documentprocessor_spark.operators.html_parse import html_tuples
+    from documentprocessor_spark.plans.pipeline import extract_from_pages_with_model
+    from documentprocessor_spark.schemas import PAGES
+    from documentprocessor_spark.sources.synthetic import generate_corpus
+
+    rows = [
+        (u, ts, h, t, l)
+        for u, ts, h, t, l, *_ in generate_corpus(25, seed=21)
+    ]
+    pages = spark.createDataFrame(rows, PAGES)
+    got = {
+        r["url"]: r.asDict(recursive=True)
+        for r in extract_from_pages_with_model(pages).collect()
+    }
+    for url, _ts, html, text, _l, _w, _pw, _ph in generate_corpus(25, seed=21):
+        tuples = html_tuples(html)
+        normed = ref.normalize_words(tuples, PAGE_W, PAGE_H)
+        toks = [t[0] for t in normed]
+        preds, confs = fake_token_classifier(toks, url)
+        boxes = [[t[1], t[2], t[3], t[4]] for t in normed]
+        ents = ref.extract_entities(toks, preds, confs, boxes)
+        merged = ref.extract_fields_with_model({"entities": ents}, normed)
+        assert got[url]["extracted_text"] == text, url
+        for f in ("vendor_name", "date", "total_amount", "subtotal",
+                  "tax_amount"):
+            expected = merged[f]
+            if expected is None:
+                assert got[url][f] is None, (url, f)
+            else:
+                assert got[url][f]["value"] == expected["value"], (url, f)
+                assert got[url][f]["confidence"] == pytest.approx(
+                    expected["confidence"]
+                ), (url, f)
