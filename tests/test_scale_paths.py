@@ -52,3 +52,26 @@ def test_vectorized_cosine_equals_exact(spark):
         for r in similarity.cosine_topk_vectorized(emb, queries, k=7).collect()
     }
     assert fast == exact
+
+
+def test_results_partition_pruning(spark, tmp_path):
+    """The url_bucket partition layout must prune at read time: a bucket
+    filter shows up as PartitionFilters, not a post-scan filter."""
+    from documentprocessor_spark.plans.pipeline import run_job
+    from documentprocessor_spark.schemas import PAGES
+    from documentprocessor_spark.sources.synthetic import generate_corpus
+
+    rows = [(u, ts, h, t, l) for u, ts, h, t, l, *_ in generate_corpus(40, seed=31)]
+    pages = spark.createDataFrame(rows, PAGES)
+    out = str(tmp_path / "prunejob")
+    run_job(spark, pages, out, n_buckets=8)
+
+    pruned = spark.read.parquet(f"{out}/results").where(F.col("url_bucket") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(url_bucket" in plan or (
+        "PartitionFilters" in plan and "url_bucket" in plan.split("PartitionFilters")[1][:120]
+    ), plan[:800]
+    # and the pruned read returns only that bucket
+    assert pruned.select("url_bucket").distinct().collect() == [
+        spark.createDataFrame([(3,)], "url_bucket int").first()
+    ]
