@@ -90,10 +90,22 @@ def token2json(sequence: str):
                 continue
             text_parts.append(s[pos : m.start()])
             key = m.group(1)
+            open_tag = f"<s_{key}>"
             close_tag = f"</s_{key}>"
-            close = s.find(close_tag, m.end())
-            if close == -1:
-                raise ValueError(f"missing {close_tag}")
+            # depth-aware close matching: the same key may nest inside itself
+            depth, scan, close = 1, m.end(), -1
+            while depth:
+                nxt_close = s.find(close_tag, scan)
+                if nxt_close == -1:
+                    raise ValueError(f"missing {close_tag}")
+                nxt_open = s.find(open_tag, scan)
+                if nxt_open != -1 and nxt_open < nxt_close:
+                    depth += 1
+                    scan = nxt_open + len(open_tag)
+                else:
+                    depth -= 1
+                    close = nxt_close
+                    scan = nxt_close + len(close_tag)
             value = parse(s[m.end() : close])
             if key in cur:
                 existing = cur[key]

@@ -97,3 +97,67 @@ def test_fast_scanner_equals_parser_on_generated_html(html):
     assert extract_content_lines(html, "fast") == extract_content_lines(
         html, "parser"
     )
+
+
+# -- OCR roundtrip: arbitrary CHARSET text must survive render→recognize ----
+
+from documentprocessor_spark.operators.ocr_kernel import (  # noqa: E402
+    CHARSET,
+    TemplateOcrEngine,
+    render_page,
+)
+
+ocr_word = st.text(alphabet=CHARSET, min_size=1, max_size=10)
+ocr_lines = st.lists(
+    st.lists(ocr_word, min_size=1, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ocr_lines)
+def test_ocr_roundtrip_any_charset_text(lines):
+    img, golden = render_page(lines)
+    words = TemplateOcrEngine().detect_and_recognize(img)
+    assert [w["text"] for w in words] == [g[0] for g in golden]
+    assert all(w["confidence"] == 1.0 for w in words)
+
+
+# -- token2json roundtrip: nested structures survive serialization ----------
+
+from documentprocessor_spark.operators.genmodel_parse import token2json  # noqa: E402
+
+key_name = st.sampled_from(["menu", "nm", "cnt", "price", "sub_total",
+                            "total", "tax_price", "a", "b2"])
+# leaves are whitespace-normalized: the parser collapses runs of spaces by
+# design, so the roundtrip property quantifies over normalized text
+leaf = st.text(alphabet="abcXYZ0123456789$. ", min_size=1, max_size=8).map(
+    lambda s: " ".join(s.split())
+).filter(bool)
+
+node = st.deferred(
+    lambda: st.one_of(
+        leaf,
+        st.dictionaries(key_name, node, min_size=1, max_size=3),
+        st.lists(
+            st.dictionaries(key_name, leaf, min_size=1, max_size=3),
+            min_size=2,
+            max_size=3,
+        ),
+    )
+)
+
+
+def to_cord(obj) -> str:
+    if isinstance(obj, str):
+        return obj
+    if isinstance(obj, list):
+        return "<sep/>".join(to_cord(x) for x in obj)
+    return "".join(f"<s_{k}>{to_cord(v)}</s_{k}>" for k, v in obj.items())
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.dictionaries(key_name, node, min_size=1, max_size=3))
+def test_token2json_roundtrip(obj):
+    assert token2json(to_cord(obj)) == obj
