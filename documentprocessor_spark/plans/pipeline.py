@@ -257,8 +257,11 @@ def run_job(
     elapsed = time.monotonic() - t0
 
     # Derive spans + manifest from the COMMITTED rows of this run (read-back,
-    # not recompute — the expensive kernels run exactly once per document).
-    committed_now = spark.read.parquet(results_path).where(F.col("run_id") == run_id)
+    # not recompute — the expensive kernels run exactly once per document;
+    # cached so spans and manifest share one scan).
+    committed_now = (
+        spark.read.parquet(results_path).where(F.col("run_id") == run_id).persist()
+    )
     results_to_spans(committed_now).write.mode("append").parquet(spans_path)
 
     manifest = (
@@ -276,6 +279,7 @@ def run_job(
         )
     )
     manifest.write.mode("append").parquet(manifest_path)
+    committed_now.unpersist()
 
     # committed total from the manifest aggregate — no results-table scan
     n_done = _committed_count(spark, manifest_path)

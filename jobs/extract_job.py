@@ -1,0 +1,64 @@
+"""Production entrypoint: the spark-submit job the north_rule ships.
+
+    zip -r dp.zip documentprocessor_spark/          # package once
+    spark-submit --py-files dp.zip jobs/extract_job.py \\
+        --input  <pages parquet/iceberg path> \\
+        --output <output dir (results/spans/manifest)> \\
+        [--buckets 64] [--mode heuristic|model] [--no-resume] [--stats]
+
+Reads the pages table (url, warc_ts, html, text, lang), runs the fused
+extraction pipeline, writes url-hash-bucketed results + spans + a
+per-partition manifest, and resumes from the last manifest-acknowledged
+commit if killed. On a cluster, pass the master/executor confs on the
+spark-submit command line as usual; the session factory only fills in
+defaults when unset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument("--mode", choices=("heuristic", "model"),
+                        default="heuristic")
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--stats", action="store_true",
+                        help="collect skip/count stats (extra scans)")
+    args = parser.parse_args(argv)
+
+    from documentprocessor_spark.plans.pipeline import (
+        extract_from_pages_with_model,
+        run_job,
+    )
+    from documentprocessor_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dp-extract-{args.mode}")
+    pages = spark.read.parquet(args.input)
+
+    if args.mode == "model":
+        # model mode has its own output shape; written directly
+        out = extract_from_pages_with_model(pages)
+        out.write.mode("append").parquet(f"{args.output}/model_results")
+        stats = {"mode": "model", "rows": out.count()}
+    else:
+        stats = run_job(
+            spark,
+            pages,
+            args.output,
+            n_buckets=args.buckets,
+            resume=not args.no_resume,
+            collect_stats=args.stats,
+        )
+    print(json.dumps(stats, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
