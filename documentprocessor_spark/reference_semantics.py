@@ -370,11 +370,18 @@ def extract_fields_fast(words):
 
     texts = [w[TEXT] for w in words]
     lowers = [t.lower() for t in texts]
+    full_lower = " ".join(lowers)
     n = len(words)
     amount_search = AMOUNT_RE.search
     amatches = [amount_search(t) for t in texts]
 
     def windowed(kw_re, lo_off):
+        # Exact prefilter: every word is a substring of the joined text, so
+        # a full-text keyword miss implies a miss in every word — the scan
+        # can only return None. On sparse (non-receipt) web text this skips
+        # the per-word loop entirely.
+        if not kw_re.search(full_lower):
+            return None
         for i, low in enumerate(lowers):
             if kw_re.search(low):
                 for j in range(max(0, i + lo_off), min(n, i + 5)):
@@ -389,7 +396,7 @@ def extract_fields_fast(words):
 
     # total: forward window, Decimal-parsed, zero skipped by truthiness
     total = None
-    for i, low in enumerate(lowers):
+    for i, low in enumerate(lowers) if _TOTAL_KW_RE.search(full_lower) else ():
         if _TOTAL_KW_RE.search(low):
             for j in range(i, min(i + 5, n)):
                 m = amatches[j]
