@@ -94,11 +94,6 @@ def cosine_topk_vectorized(corpus: DataFrame, queries: DataFrame,
         StructType,
     )
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
-
     out_schema = StructType(
         [
             StructField("query_id", LongType(), False),
@@ -106,6 +101,17 @@ def cosine_topk_vectorized(corpus: DataFrame, queries: DataFrame,
             StructField("cosine", DoubleType(), False),
         ]
     )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:  # empty query set: same empty result as the exact path
+        return (
+            corpus.sparkSession.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1))
+            .where(F.lit(False))
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
 
     def kernel(batches):
         for pdf in batches:
@@ -115,19 +121,19 @@ def cosine_topk_vectorized(corpus: DataFrame, queries: DataFrame,
                 continue
             norms = np.linalg.norm(mat, axis=1)
             sims = (mat @ q_mat.T) / np.outer(norms, q_norm)  # (batch, nq)
+            # rank by the ROUNDED cosine with vec_id tiebreak, matching the
+            # exact path's window key — partial selection on raw scores
+            # could drop a tied candidate the final window would keep
+            rounded = np.round(sims, 6)
             rows = []
             for qi in range(len(q_ids)):
-                col = sims[:, qi]
-                mask = ids != q_ids[qi]
-                cand_idx = np.nonzero(mask)[0]
-                if cand_idx.size == 0:
+                col = rounded[:, qi]
+                cand = np.nonzero(ids != q_ids[qi])[0]
+                if cand.size == 0:
                     continue
-                take = min(k, cand_idx.size)
-                top = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
-                for t in top:
-                    rows.append(
-                        (int(q_ids[qi]), int(ids[t]), round(float(col[t]), 6))
-                    )
+                order = np.lexsort((ids[cand], -col[cand]))[: min(k, cand.size)]
+                for t in cand[order]:
+                    rows.append((int(q_ids[qi]), int(ids[t]), float(col[t])))
             yield pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
 
     partial = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)

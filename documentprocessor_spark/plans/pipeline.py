@@ -225,12 +225,17 @@ def run_job(
     resume: bool = True,
     run_id: str | None = None,
     collect_stats: bool = True,
+    extractor=None,
 ) -> dict:
     """Execute the extraction job with resume + manifest. Returns run stats.
 
     ``collect_stats=False`` skips the input/skip counting jobs (each is a
     full scan + anti-join) — the setting for petabyte corpora, where the
-    manifest already carries the committed totals."""
+    manifest already carries the committed totals.
+
+    ``extractor`` swaps the extraction stage (default extract_from_pages;
+    pass ``lambda p, n: extract_from_pages_with_model(p)`` for the model
+    path) — commit/resume/spans/manifest semantics are identical."""
     run_id = run_id or uuid.uuid4().hex[:12]
     results_path = f"{output_dir}/results"
     spans_path = f"{output_dir}/spans"
@@ -250,7 +255,8 @@ def run_job(
                 skipped = before - todo.count()
 
     t0 = time.monotonic()
-    results = with_url_bucket(extract_from_pages(todo, n_buckets), n_buckets).withColumn(
+    extract = extractor or extract_from_pages
+    results = with_url_bucket(extract(todo, n_buckets), n_buckets).withColumn(
         "run_id", F.lit(run_id)
     )
     results.write.mode("append").partitionBy("url_bucket").parquet(results_path)

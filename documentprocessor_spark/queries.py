@@ -783,10 +783,15 @@ _ORACLE_BAND_PAIRS = """
 # exact and both engines divide once at the end.
 
 
+def _cents(col):
+    """Exact integer cents of a 2-decimal double column."""
+    return F.round(col * 100).cast("long")
+
+
 def _disc_price_cents():
-    p = F.round(F.col("l_extendedprice") * 100).cast("long")
-    d = F.round(F.col("l_discount") * 100).cast("long")
-    return p * (F.lit(100) - d)
+    return _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,8 +802,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-             / 100.0).alias("sum_base_price"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
             F.round(F.sum(_disc_price_cents()) / 10000.0, 2).alias(
                 "sum_disc_price"
             ),
@@ -937,8 +941,7 @@ def q_cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
-                ).alias("sum_totalprice"),
+        F.round(F.sum(_cents(F.col("o_totalprice"))) / 100.0, 2).alias("sum_totalprice"),
     )
 
 

@@ -25,15 +25,24 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    if master is None:
+        # Respect a master provided by spark-submit (--master yarn/k8s/...):
+        # builder.master() would override it. Only default to local[] when
+        # nothing external set spark.master.
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         try:
             shuffle_partitions = int(cpus)
         except ValueError:
             shuffle_partitions = 32
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -48,7 +57,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_WAREHOUSE", "/tmp/dp_spark_warehouse"),
+            # per-process default: concurrent sessions on a shared box must
+            # not clobber each other's managed tables
+            os.environ.get(
+                "SPARK_WAREHOUSE", f"/tmp/dp_spark_warehouse_{os.getpid()}"
+            ),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -42,20 +42,24 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(app_name=f"dp-extract-{args.mode}")
     pages = spark.read.parquet(args.input)
 
-    if args.mode == "model":
-        # model mode has its own output shape; written directly
-        out = extract_from_pages_with_model(pages)
-        out.write.mode("append").parquet(f"{args.output}/model_results")
-        stats = {"mode": "model", "rows": out.count()}
-    else:
-        stats = run_job(
-            spark,
-            pages,
-            args.output,
-            n_buckets=args.buckets,
-            resume=not args.no_resume,
-            collect_stats=args.stats,
-        )
+    # both modes share run_job's commit/resume/manifest semantics; model
+    # mode writes to its own subdirectory (different output schema)
+    output = args.output if args.mode == "heuristic" else f"{args.output}/model"
+    extractor = (
+        None
+        if args.mode == "heuristic"
+        else (lambda p, n: extract_from_pages_with_model(p))
+    )
+    stats = run_job(
+        spark,
+        pages,
+        output,
+        n_buckets=args.buckets,
+        resume=not args.no_resume,
+        collect_stats=args.stats,
+        extractor=extractor,
+    )
+    stats["mode"] = args.mode
     print(json.dumps(stats, default=str))
     spark.stop()
 

@@ -185,3 +185,23 @@ def test_approx_distinct_within_tolerance(spark):
     exact = ev.agg(F.countDistinct("user_id")).first()[0]
     approx = ev.agg(F.approx_count_distinct("user_id", 0.01)).first()[0]
     assert abs(approx - exact) <= max(1, exact * 0.05)
+
+
+def test_model_mode_job_resumes(spark, tmp_path):
+    """Model mode goes through run_job's commit/resume semantics too."""
+    from documentprocessor_spark.plans.pipeline import (
+        extract_from_pages_with_model,
+        run_job,
+    )
+
+    rows = [(u, ts, h, t, l) for u, ts, h, t, l, *_ in generate_corpus(15, seed=17)]
+    pages = spark.createDataFrame(rows, PAGES)
+    out = str(tmp_path / "modeljob")
+    extractor = lambda p, n: extract_from_pages_with_model(p)  # noqa: E731
+    first = run_job(spark, pages.limit(8), out, n_buckets=4, extractor=extractor)
+    second = run_job(spark, pages, out, n_buckets=4, extractor=extractor)
+    assert second["rows_skipped_resume"] == 8
+    assert second["rows_total_committed"] == 15
+    res = spark.read.parquet(f"{out}/results")
+    assert res.count() == 15
+    assert "vendor_name" in res.columns
