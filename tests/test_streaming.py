@@ -84,3 +84,53 @@ def test_stateful_domain_totals_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_windowed_domain_counts_with_watermark(spark, tmp_path):
+    """Event-time tumbling windows with a watermark: streaming result equals
+    the batch group-by over the same event times."""
+    from documentprocessor_spark.streaming.stream import windowed_domain_counts
+
+    rows = [
+        (url, ts, html, text, lang)
+        for url, ts, html, text, lang, *_ in generate_corpus(40, seed=12)
+    ]
+    pages = spark.createDataFrame(rows, PAGES)
+    in_dir = str(tmp_path / "win_in")
+    pages.repartition(3).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    # complete mode: the memory sink holds the final state of every window
+    # (append mode would only emit watermark-closed windows, and this short
+    # corpus spans less than the watermark)
+    q = (
+        windowed_domain_counts(stream, window="10 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["start"], r["domain"]): r["n_pages"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    expected = {
+        (r["start"], r["domain"]): r["n"]
+        for r in pages.groupBy(
+            F.window(F.col("warc_ts").cast("timestamp"), "10 minutes").alias("w"),
+            F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("domain"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("start"), "domain", "n")
+        .collect()
+    }
+    # append mode emits only watermark-closed windows; with availableNow all
+    # windows close at stream end, so the sets must match exactly
+    assert got == expected
