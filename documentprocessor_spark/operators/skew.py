@@ -46,6 +46,33 @@ def domain_col(url: Column) -> Column:
     return F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
 
 
+def domain_length_quantiles(pages: DataFrame,
+                            quantiles=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Per-domain html-size quantiles via grouped applyInPandas — the
+    grouped-map pattern for per-key computations that need the whole group
+    in one kernel (exact quantiles, unlike approx_percentile). Heavy-domain
+    groups are bounded by the page count per domain; for truly pathological
+    domains pre-aggregate with salting first."""
+    import pandas as pd
+
+    out_schema = "domain string, n_pages long, " + ", ".join(
+        f"p{int(q * 100)} double" for q in quantiles
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        sizes = pdf["html_bytes"]
+        row = {"domain": pdf["domain"].iloc[0], "n_pages": len(pdf)}
+        for q in quantiles:
+            row[f"p{int(q * 100)}"] = float(sizes.quantile(q))
+        return pd.DataFrame([row])
+
+    prepared = pages.select(
+        domain_col(F.col("url")).alias("domain"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("html_bytes"),
+    )
+    return prepared.groupBy("domain").applyInPandas(stats, schema=out_schema)
+
+
 def salted_domain_stats(pages: DataFrame, n_salt: int = DEFAULT_SALT) -> DataFrame:
     """Per-domain page counts + html bytes over a pages table, salt-safe
     against heavy domains."""

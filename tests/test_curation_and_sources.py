@@ -205,3 +205,21 @@ def test_model_mode_job_resumes(spark, tmp_path):
     res = spark.read.parquet(f"{out}/results")
     assert res.count() == 15
     assert "vendor_name" in res.columns
+
+
+def test_domain_length_quantiles_grouped_map(spark):
+    from documentprocessor_spark.operators.skew import domain_length_quantiles
+
+    rows = [(u, ts, h, t, l) for u, ts, h, t, l, *_ in generate_corpus(200, seed=8)]
+    pages = spark.createDataFrame(rows, PAGES)
+    got = {r["domain"]: r.asDict() for r in domain_length_quantiles(pages).collect()}
+    assert sum(r["n_pages"] for r in got.values()) == 200
+    # exact check for the heavy domain against pandas on the driver
+    import pandas as pd
+    heavy = pd.Series(
+        [len(h) for u, _ts, h, *_ in rows if "bigstore" in u]
+    )
+    g = got["bigstore.example.com"]
+    assert g["n_pages"] == len(heavy)
+    assert g["p50"] == float(heavy.quantile(0.5))
+    assert g["p99"] == float(heavy.quantile(0.99))
