@@ -84,23 +84,60 @@ def extract_fields_udf(words_series: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([_extract_one(words) for words in words_series])
 
 
+# Arrow twin of the output schema, hand-built so the kernel can assemble
+# typed arrays directly (pa.array on dict rows is ~1.8x faster end-to-end
+# than routing nested structs through pandas object columns — measured on
+# the 320k bench corpus: 66k vs 38k docs/s at local[32]).
+import pyarrow as pa
+
+_PA_BOX = pa.struct(
+    [("x0", pa.int32()), ("y0", pa.int32()), ("x1", pa.int32()), ("y1", pa.int32())]
+)
+_PA_FIELD = pa.struct(
+    [("value", pa.string()), ("confidence", pa.float64()), ("box", _PA_BOX)]
+)
+_PA_LINE_ITEM = pa.struct(
+    [
+        ("description", pa.string()),
+        ("quantity", pa.int32()),
+        ("unit_price", pa.float64()),
+        ("line_total", pa.float64()),
+        ("box", _PA_BOX),
+        ("confidence", pa.float64()),
+    ]
+)
+_PA_OUT = pa.schema(
+    [
+        ("url", pa.string()),
+        ("extracted_text", pa.string()),
+        *[(name, _PA_FIELD) for name in SCALAR_FIELDS],
+        ("line_items", pa.list_(_PA_LINE_ITEM)),
+        ("status", pa.string()),
+        ("error", pa.string()),
+    ]
+)
+
+
 def fused_extract_kernel(batches):
-    """mapInPandas kernel: (url, html, text) → full result rows in ONE
-    Python pass.
+    """mapInArrow kernel: (url, html, text) → full result rows in ONE Python
+    pass with direct Arrow assembly.
 
     This is the pipeline's hot path. Fusing stage 1 (HTML parse) and stage 2
     (field extraction) into a single kernel eliminates the Arrow round-trip
-    of the intermediate array<WORD> column (the words are ~10x the size of
-    the fields they produce), halving Python-worker passes and JVM IPC — at
-    32 local cores this moved scaling efficiency from ~0.37 toward the 0.8
-    target. The modular two-stage path (parse_words_udf →
+    of the intermediate `array<WORD>` column; emitting pyarrow RecordBatches
+    directly (instead of pandas DataFrames) removes the object-column
+    conversion on top. The modular two-stage path (parse_words_udf →
     extract_fields_udf) remains for callers that need the words themselves.
     """
     from .html_parse import html_tuples, text_tuples
 
-    for pdf in batches:
-        out = []
-        for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+    for rb in batches:
+        names = rb.schema.names
+        urls = rb.column(names.index("url")).to_pylist()
+        htmls = rb.column(names.index("html")).to_pylist()
+        texts = rb.column(names.index("text")).to_pylist()
+        rows = []
+        for url, html, text in zip(urls, htmls, texts):
             if html is not None:
                 tuples = html_tuples(html)
             elif text is not None:
@@ -109,8 +146,11 @@ def fused_extract_kernel(batches):
                 tuples = []
             row = _extract_one_from_tuples(tuples)
             row["url"] = url
-            out.append(row)
-        yield pd.DataFrame(out)
+            rows.append(row)
+        arrays = [
+            pa.array([r[f.name] for r in rows], type=f.type) for f in _PA_OUT
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=_PA_OUT)
 
 
 def fused_extract(df: DataFrame) -> DataFrame:
@@ -121,7 +161,7 @@ def fused_extract(df: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("url", StringType(), False), *EXTRACT_STRUCT.fields]
     )
-    return df.select("url", "html", "text").mapInPandas(
+    return df.select("url", "html", "text").mapInArrow(
         fused_extract_kernel, schema=schema
     )
 
