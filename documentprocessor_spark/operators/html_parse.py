@@ -124,66 +124,60 @@ def _fast_blocks(html: str) -> list[tuple[str, int, int, bool]]:
     tests/test_html_pipeline.py). One sub pass removes raw-text elements,
     one finditer pass walks the remaining tags."""
     html = _RAWTEXT_SUB_RE.sub("", html)
+    # one C-level split: [text, slash, name, text, slash, name, ..., text]
+    # (comments/declarations contribute (None, None) group slots)
+    parts = _TAG_RE.split(html)
     blocks: list[tuple[str, int, int, bool]] = []
     buf: list[str] = []
-    buf_append = buf.append
+    append = buf.append
     anchor_chars = 0
     boiler_depth = 0
     anchor_depth = 0
-    pos = 0
-
-    def flush():
-        nonlocal buf, buf_append, anchor_chars
-        raw = "".join(buf)
-        text = " ".join(raw.split())
-        if text:
-            blocks.append((text, anchor_chars, len(raw), boiler_depth > 0))
-        buf = []
-        buf_append = buf.append
-        anchor_chars = 0
-
-    truncated = False
-    for m in _TAG_RE.finditer(html):
-        if m.start() > pos:
-            chunk = html[pos : m.start()]
+    n = len(parts)
+    i = 0
+    while i < n:
+        chunk = parts[i]
+        if chunk:
             if "&" in chunk:
                 chunk = _unescape(chunk)
-            buf_append(chunk)
+            append(chunk)
             if anchor_depth:
                 anchor_chars += len(chunk)
-        pos = m.end()
-        tag = m.group(2)
-        if tag is None:  # comment / declaration
-            continue
-        tag = tag.lower()
-        closing = m.group(1) == "/"
-        if not closing and tag in _RAWTEXT_CLOSER:
-            # only unterminated raw-text openers survive the sub pre-pass:
-            # drop everything after, like the scanner's failed find()
-            truncated = True
+        if i + 2 >= n:
             break
-        if tag in _BLOCKY:
-            flush()
-            if tag in BOILER_CONTAINERS:
+        name = parts[i + 2]
+        if name is not None:
+            tag = name.lower()
+            closing = parts[i + 1] == "/"
+            if not closing and tag in _RAWTEXT_CLOSER:
+                # only unterminated raw-text openers survive the sub
+                # pre-pass: drop everything after, like a failed find()
+                break
+            if tag in _BLOCKY:
+                raw = "".join(buf)
+                text = " ".join(raw.split())
+                if text:
+                    blocks.append((text, anchor_chars, len(raw), boiler_depth > 0))
+                buf = []
+                append = buf.append
+                anchor_chars = 0
+                if tag in BOILER_CONTAINERS:
+                    if closing:
+                        if boiler_depth:
+                            boiler_depth -= 1
+                    else:
+                        boiler_depth += 1
+            elif tag == "a":
                 if closing:
-                    if boiler_depth:
-                        boiler_depth -= 1
+                    if anchor_depth:
+                        anchor_depth -= 1
                 else:
-                    boiler_depth += 1
-        elif tag == "a":
-            if closing:
-                if anchor_depth:
-                    anchor_depth -= 1
-            else:
-                anchor_depth += 1
-    if not truncated and pos < len(html):
-        chunk = html[pos:]
-        if "&" in chunk:
-            chunk = _unescape(chunk)
-        buf_append(chunk)
-        if anchor_depth:
-            anchor_chars += len(chunk)
-    flush()
+                    anchor_depth += 1
+        i += 3
+    raw = "".join(buf)
+    text = " ".join(raw.split())
+    if text:
+        blocks.append((text, anchor_chars, len(raw), boiler_depth > 0))
     return blocks
 
 

@@ -136,3 +136,30 @@ def test_native_vendor_and_currency_match_python(spark):
         else:
             assert got[url]["currency"] == gc, url
         assert got[url]["text"] == g["extracted_text"], url
+
+
+def test_result_row_shape_matches_reference_contract(spark):
+    """The serialized result row carries exactly the reference's top-level
+    job-result keys (receipt_processor.py:139-151), minus the process-salted
+    job_id (excluded per FIXTURES.md §5) plus our status/error/url columns."""
+    import json
+
+    from documentprocessor_spark.plans.pipeline import extract_from_pages
+    from documentprocessor_spark.schemas import PAGES
+    from documentprocessor_spark.sources.synthetic import generate_corpus
+
+    rows = [(u, ts, h, t, l) for u, ts, h, t, l, *_ in generate_corpus(2, seed=1)]
+    pages = spark.createDataFrame(rows, PAGES)
+    row = extract_from_pages(pages).first()
+    payload = json.loads(json.dumps(row.asDict(recursive=True), default=str))
+    reference_keys = {
+        "vendor_name", "merchant_address", "date", "total_amount",
+        "subtotal", "tax_amount", "currency", "line_items", "status",
+    }
+    assert reference_keys <= set(payload)
+    fld = payload["vendor_name"]
+    assert set(fld) == {"value", "confidence", "box"}
+    assert set(fld["box"]) == {"x0", "y0", "x1", "y1"}
+    li = payload["line_items"][0]
+    assert set(li) == {"description", "quantity", "unit_price", "line_total",
+                       "box", "confidence"}
