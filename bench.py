@@ -129,12 +129,20 @@ def main() -> None:
     spark.stop()
 
     # --- scaling pair N -> 4N (non-oversubscribed proxy) --------------------
-    spark = make_session(SCALE_LO)
-    t_lo = time_extraction(spark, corpus_path, os.path.join(tmp, "out_lo"))
-    spark.stop()
-    spark = make_session(SCALE_HI)
-    t_hi = time_extraction(spark, corpus_path, os.path.join(tmp, "out_hi"))
-    spark.stop()
+    # Interleaved measurement: the box is shared, so transient neighbor load
+    # during one level's window would bias the ratio; alternating LO/HI and
+    # taking best-of per level makes the efficiency robust to drift.
+    best = {SCALE_LO: float("inf"), SCALE_HI: float("inf")}
+    for rep in range(REPS):
+        for cores in (SCALE_LO, SCALE_HI):
+            spark = make_session(cores)
+            t = time_extraction(
+                spark, corpus_path, os.path.join(tmp, f"out_{cores}_{rep}"),
+                reps=1,
+            )
+            best[cores] = min(best[cores], t)
+            spark.stop()
+    t_lo, t_hi = best[SCALE_LO], best[SCALE_HI]
 
     shutil.rmtree(tmp, ignore_errors=True)
 
