@@ -1,1 +1,1 @@
-from . import synthetic, tables  # noqa: F401
+from . import bucketed, readers, synthetic, tables, warc  # noqa: F401

@@ -1,0 +1,61 @@
+"""WARC source: record parsing, gzip members, corrupt-record tolerance, and
+the full WARC → extraction path."""
+
+from datetime import datetime
+
+import pytest
+
+from documentprocessor_spark.plans.pipeline import extract_from_pages
+from documentprocessor_spark.sources.synthetic import RECEIPT_LINES, render_html
+from documentprocessor_spark.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    write_warc,
+)
+
+RECORDS = [
+    ("https://a.example.org/1", datetime(2024, 1, 1, 12, 0), render_html(RECEIPT_LINES)),
+    ("https://b.example.org/2", datetime(2024, 1, 2, 8, 30), b"<p>Total $5.00</p>"),
+]
+
+
+def test_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        raw = write_warc(RECORDS, gzip_member=gz)
+        got = [r for r in parse_warc_records(raw) if "_skipped" not in r]
+        assert [(r["url"], r["warc_ts"]) for r in got] == [
+            (u, ts) for u, ts, _b in RECORDS
+        ]
+        assert got[0]["html"] == RECORDS[0][2]
+        assert got[1]["html"] == RECORDS[1][2]
+
+
+def test_non_response_records_skipped():
+    raw = write_warc(RECORDS)
+    # prepend a warcinfo-ish record
+    info = raw.replace(b"WARC-Type: response", b"WARC-Type: warcinfo", 1)
+    got = [r for r in parse_warc_records(info) if "_skipped" not in r]
+    assert len(got) == 1  # only the second response survives
+
+
+def test_corrupt_record_tolerated():
+    raw = b"WARC/1.0\r\nContent-Length: notanumber\r\n\r\n" + write_warc(RECORDS)
+    got = list(parse_warc_records(raw))
+    skipped = [r for r in got if "_skipped" in r]
+    ok = [r for r in got if "_skipped" not in r]
+    assert len(skipped) == 1 and len(ok) == 2
+
+
+def test_warc_to_extraction_end_to_end(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "member1.warc").write_bytes(write_warc(RECORDS[:1]))
+    (d / "member2.warc.gz").write_bytes(write_warc(RECORDS[1:], gzip_member=True))
+    (d / "ignored.txt").write_bytes(b"not a warc")
+
+    pages = read_warc(spark, str(d))
+    results = {r["url"]: r.asDict(recursive=True)
+               for r in extract_from_pages(pages).collect()}
+    assert set(results) == {u for u, _t, _b in RECORDS}
+    assert "GROCERY STORE" in results["https://a.example.org/1"]["extracted_text"]
+    assert results["https://b.example.org/2"]["total_amount"]["value"] == "5.00"
