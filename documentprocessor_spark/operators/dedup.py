@@ -65,6 +65,21 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str,
+                       n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    """Long (doc_id, sh_hash int64) pairs: md5-prefix hash of each shingle.
+
+    The pair join shuffles an 8-byte key instead of a ~20-byte string —
+    the dominant cost of the shared-shingle join at corpus scale. md5 is
+    portable to the DuckDB oracle ('0x'||substr(md5(s),1,15) casts to the
+    same value); 60-bit collisions are negligible for dedup purposes.
+    """
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    return doc_shingles(df, id_col, text_col, n).select(
+        "doc_id", h.alias("sh_hash")
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, canonical_id, group_size): canonical = min id per sha2 group.
 
@@ -160,23 +175,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     before the join — the standard stop-shingle cut that keeps the worst
     join key bounded at corpus scale (silently-capped coverage is reported
     by the caller's metrics, not hidden: extremely common shingles carry no
-    near-dup signal).
+    near-dup signal). All joins run on 8-byte shingle hashes, not strings.
     """
-    pairs = doc_shingles(df, id_col, text_col, n)
+    pairs = doc_shingle_hashes(df, id_col, text_col, n)
     sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = (
-        pairs.groupBy("shingle")
+        pairs.groupBy("sh_hash")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") <= df_cap)
-        .select("shingle")
+        .select("sh_hash")
     )
-    filtered = pairs.join(rare, "shingle")
+    filtered = pairs.join(rare, "sh_hash")
     a = filtered.alias("a")
     b = filtered.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh_hash") == F.col("b.sh_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -456,14 +456,19 @@ _ORACLE_JACCARD = """
             toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] as shingle
         from tok, lateral unnest(range(len(toks) - 2)) as u(i)
     ),
-    sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
-    rare as (
-        select shingle from sh group by shingle having count(*) <= 50
+    shh as (
+        select doc_id,
+            ('0x' || substr(md5(shingle), 1, 15))::bigint as sh_hash
+        from sh
     ),
-    f as (select sh.doc_id, sh.shingle from sh join rare using (shingle)),
+    sizes as (select doc_id, count(*) as n_sh from shh group by doc_id),
+    rare as (
+        select sh_hash from shh group by sh_hash having count(*) <= 50
+    ),
+    f as (select shh.doc_id, shh.sh_hash from shh join rare using (sh_hash)),
     inter as (
         select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i_n
-        from f a join f b on a.shingle = b.shingle and a.doc_id < b.doc_id
+        from f a join f b on a.sh_hash = b.sh_hash and a.doc_id < b.doc_id
         group by 1, 2
     )
     select doc_a, doc_b,
