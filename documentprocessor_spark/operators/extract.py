@@ -84,38 +84,18 @@ def extract_fields_udf(words_series: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([_extract_one(words) for words in words_series])
 
 
-# Arrow twin of the output schema, hand-built so the kernel can assemble
-# typed arrays directly (pa.array on dict rows is ~1.8x faster end-to-end
-# than routing nested structs through pandas object columns — measured on
-# the 320k bench corpus: 66k vs 38k docs/s at local[32]).
+# Arrow twin of the output schema, DERIVED from the Spark schema so the two
+# cannot drift (pa.array on dict rows is ~1.8x faster end-to-end than
+# routing nested structs through pandas object columns — measured on the
+# 320k bench corpus: 66k vs 38k docs/s at local[32]).
 import pyarrow as pa
+from pyspark.sql.pandas.types import to_arrow_schema
+from pyspark.sql.types import StructType as _StructType
 
-_PA_BOX = pa.struct(
-    [("x0", pa.int32()), ("y0", pa.int32()), ("x1", pa.int32()), ("y1", pa.int32())]
+_OUT_SPARK_SCHEMA = _StructType(
+    [StructField("url", StringType(), False), *EXTRACT_STRUCT.fields]
 )
-_PA_FIELD = pa.struct(
-    [("value", pa.string()), ("confidence", pa.float64()), ("box", _PA_BOX)]
-)
-_PA_LINE_ITEM = pa.struct(
-    [
-        ("description", pa.string()),
-        ("quantity", pa.int32()),
-        ("unit_price", pa.float64()),
-        ("line_total", pa.float64()),
-        ("box", _PA_BOX),
-        ("confidence", pa.float64()),
-    ]
-)
-_PA_OUT = pa.schema(
-    [
-        ("url", pa.string()),
-        ("extracted_text", pa.string()),
-        *[(name, _PA_FIELD) for name in SCALAR_FIELDS],
-        ("line_items", pa.list_(_PA_LINE_ITEM)),
-        ("status", pa.string()),
-        ("error", pa.string()),
-    ]
-)
+_PA_OUT = to_arrow_schema(_OUT_SPARK_SCHEMA)
 
 
 def fused_extract_kernel(batches):
@@ -156,13 +136,8 @@ def fused_extract_kernel(batches):
 def fused_extract(df: DataFrame) -> DataFrame:
     """pages(url, html, text, ...) → (url, extracted_text, fields..., status,
     error) via the fused single-pass kernel."""
-    from pyspark.sql.types import StructType
-
-    schema = StructType(
-        [StructField("url", StringType(), False), *EXTRACT_STRUCT.fields]
-    )
     return df.select("url", "html", "text").mapInArrow(
-        fused_extract_kernel, schema=schema
+        fused_extract_kernel, schema=_OUT_SPARK_SCHEMA
     )
 
 

@@ -56,14 +56,14 @@ def domain_length_quantiles(pages: DataFrame,
     import pandas as pd
 
     out_schema = "domain string, n_pages long, " + ", ".join(
-        f"p{int(q * 100)} double" for q in quantiles
+        f"p{round(q * 100)} double" for q in quantiles
     )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         sizes = pdf["html_bytes"]
         row = {"domain": pdf["domain"].iloc[0], "n_pages": len(pdf)}
         for q in quantiles:
-            row[f"p{int(q * 100)}"] = float(sizes.quantile(q))
+            row[f"p{round(q * 100)}"] = float(sizes.quantile(q))
         return pd.DataFrame([row])
 
     prepared = pages.select(

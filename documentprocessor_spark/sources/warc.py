@@ -4,22 +4,26 @@ A WARC file is a sequence of records: a `WARC/1.0` version line, CRLF
 header lines (WARC-Type, WARC-Target-URI, WARC-Date, Content-Length, …), a
 blank line, `Content-Length` bytes of block, then two CRLFs. For
 `response` records the block is an HTTP response (status line + headers +
-blank line + body). This parser is dependency-free and tolerant: malformed
-records are skipped with a counter, never a task failure.
+blank line + body); chunked transfer-encoding is de-chunked and gzip/
+deflate content-encodings are decompressed. The parser is dependency-free
+and tolerant: malformed records are skipped (yielded as ``{'_skipped':
+reason}`` so callers can count them — ``read_warc`` counts them into an
+optional Spark accumulator), never a task failure, and the scan position
+strictly advances so corrupt headers cannot livelock a task.
 
 Distribution model: WARC members are read whole via the binaryFile source
-(Common Crawl ships ~1 GB gzipped members — one task per member, the same
-granularity CC's own processing uses), records split inside an Arrow-batched
-kernel, and the result lands in the PAGES shape ready for the extraction
-pipeline. Gzipped members (.warc.gz) are decompressed in the kernel
-(stdlib gzip; CC members are member-level gzip concatenations, which
-gzip.decompress handles via a loop).
+(one task per member — Common Crawl's own processing granularity),
+records split inside an Arrow-batched kernel that yields row chunks (the
+output never accumulates a whole member). Peak memory per task is the
+compressed member + its decompressed bytes; for 1 GB CC members budget
+~5-6 GB/task and size executor concurrency accordingly (a fully streaming
+incremental parser is the follow-up if that bound is too high).
 """
 
 from __future__ import annotations
 
 import gzip
-import io
+import zlib
 from collections.abc import Iterator
 from datetime import datetime
 
@@ -30,28 +34,67 @@ from ..schemas import PAGES
 
 CRLF = b"\r\n"
 _HDR_END = CRLF + CRLF
+_ROW_CHUNK = 2048
 
 
 def _split_gzip_members(data: bytes) -> bytes:
-    """Decompress possibly-multi-member gzip (CC concatenates one member per
-    record)."""
+    """Decompress multi-member gzip (CC concatenates one member per record),
+    keeping every successfully-decoded member even when a later member is
+    corrupt (gzip.GzipFile.read would discard everything on first error)."""
     out = []
-    stream = io.BytesIO(data)
-    while True:
-        start = stream.tell()
-        if start >= len(data):
-            break
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
         try:
-            with gzip.GzipFile(fileobj=stream) as gz:
-                out.append(gz.read())
-        except Exception:
+            out.append(d.decompress(rest))
+        except zlib.error:
             break
+        if not d.eof:
+            break  # truncated final member: keep what decoded
+        rest = d.unused_data
     return b"".join(out)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer encoding."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(CRLF, pos)
+        if eol == -1:
+            raise ValueError("bad chunk framing")
+        size_token = body[pos:eol].split(b";")[0].strip()
+        size = int(size_token, 16)
+        if size == 0:
+            break
+        start = eol + 2
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip trailing CRLF
+    return b"".join(out)
+
+
+def _decode_http_body(block: bytes) -> bytes:
+    """HTTP response block → body bytes, honouring Transfer-Encoding:
+    chunked and Content-Encoding: gzip/deflate."""
+    http_end = block.find(_HDR_END)
+    if http_end == -1:
+        return block
+    headers = block[:http_end].lower()
+    body = block[http_end + len(_HDR_END):]
+    if b"transfer-encoding:" in headers and b"chunked" in headers:
+        body = _dechunk(body)
+    if b"content-encoding:" in headers:
+        if b"gzip" in headers:
+            body = gzip.decompress(body)
+        elif b"deflate" in headers:
+            body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
+    return body
+
+
 def parse_warc_records(raw: bytes) -> Iterator[dict]:
-    """Yield dicts {url, warc_ts, html} for each response record; skipped
-    records are yielded as {'_skipped': reason} so callers can count them."""
+    """Yield {url, warc_ts, html} per response record; malformed records are
+    yielded as {'_skipped': reason}. The scan position strictly advances on
+    every path (a negative/garbage Content-Length cannot loop)."""
     if raw[:2] == b"\x1f\x8b":  # gzip magic
         raw = _split_gzip_members(raw)
     pos = 0
@@ -63,6 +106,7 @@ def parse_warc_records(raw: bytes) -> Iterator[dict]:
         hdr_end = raw.find(_HDR_END, start)
         if hdr_end == -1:
             break
+        advance_floor = hdr_end + len(_HDR_END)  # minimum forward progress
         headers: dict[str, str] = {}
         for line in raw[start:hdr_end].split(CRLF)[1:]:
             if b":" in line:
@@ -73,12 +117,14 @@ def parse_warc_records(raw: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            length = -1
+        if length < 0:
             yield {"_skipped": "bad content-length"}
-            pos = hdr_end + len(_HDR_END)
+            pos = advance_floor
             continue
-        block_start = hdr_end + len(_HDR_END)
+        block_start = advance_floor
         block = raw[block_start : block_start + length]
-        pos = block_start + length
+        pos = max(block_start + length, advance_floor)
         if headers.get("warc-type") != "response":
             continue  # request/metadata/warcinfo records are not pages
         url = headers.get("warc-target-uri")
@@ -93,38 +139,53 @@ def parse_warc_records(raw: bytes) -> Iterator[dict]:
                 ).replace(tzinfo=None)
             except ValueError:
                 pass
-        # the block is an HTTP response: body starts after its header section
-        http_end = block.find(_HDR_END)
-        body = block[http_end + len(_HDR_END):] if http_end != -1 else block
+        try:
+            body = _decode_http_body(block)
+        except Exception:
+            yield {"_skipped": "undecodable http body"}
+            continue
         yield {"url": url, "warc_ts": ts, "html": body}
 
 
-def warc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = []
-        for content in pdf["content"]:
-            try:
-                for rec in parse_warc_records(bytes(content)):
-                    if "_skipped" in rec:
-                        continue
-                    rows.append(
-                        (
-                            rec["url"],
-                            rec["warc_ts"] or datetime(1970, 1, 1),
-                            rec["html"],
-                            None,
-                            None,
+def _warc_kernel(skip_counter=None):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                try:
+                    for rec in parse_warc_records(bytes(content)):
+                        if "_skipped" in rec:
+                            if skip_counter is not None:
+                                skip_counter.add(1)
+                            continue
+                        rows.append(
+                            (
+                                rec["url"],
+                                rec["warc_ts"] or datetime(1970, 1, 1),
+                                rec["html"],
+                                None,
+                                None,
+                            )
                         )
-                    )
-            except Exception:
-                continue  # a corrupt member never fails the task
-        yield pd.DataFrame(
-            rows, columns=["url", "warc_ts", "html", "text", "lang"]
-        )
+                        if len(rows) >= _ROW_CHUNK:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                except Exception:
+                    if skip_counter is not None:
+                        skip_counter.add(1)
+                    continue  # a corrupt member never fails the task
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return kernel
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Directory of .warc / .warc.gz members → PAGES-shaped DataFrame."""
+def read_warc(spark: SparkSession, path: str, skip_counter=None) -> DataFrame:
+    """Directory of .warc / .warc.gz members → PAGES-shaped DataFrame.
+
+    ``skip_counter``: optional ``spark.sparkContext.accumulator(0)`` that
+    receives the count of skipped (malformed) records/members."""
     members = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{warc,warc.gz}")
@@ -132,7 +193,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("content")
     )
-    return members.mapInPandas(warc_kernel, schema=PAGES)
+    return members.mapInPandas(_warc_kernel(skip_counter), schema=PAGES)
 
 
 # ---------------------------------------------------------------- test helper

@@ -59,3 +59,50 @@ def test_warc_to_extraction_end_to_end(spark, tmp_path):
     assert set(results) == {u for u, _t, _b in RECORDS}
     assert "GROCERY STORE" in results["https://a.example.org/1"]["extracted_text"]
     assert results["https://b.example.org/2"]["total_amount"]["value"] == "5.00"
+
+
+def test_negative_content_length_does_not_livelock():
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/\r\nContent-Length: -200\r\n\r\n"
+           + write_warc(RECORDS))
+    got = list(parse_warc_records(raw))
+    assert sum("_skipped" in r for r in got) == 1
+    assert sum("_skipped" not in r for r in got) == 2
+
+
+def test_corrupt_gzip_member_keeps_earlier_members():
+    raw = write_warc(RECORDS[:1], gzip_member=True) + b"\x1f\x8bGARBAGE"
+    got = [r for r in parse_warc_records(raw) if "_skipped" not in r]
+    assert [r["url"] for r in got] == [RECORDS[0][0]]
+
+
+def test_chunked_and_gzip_bodies_decoded():
+    import gzip as _gzip
+
+    body = b"<p>Total $7.77</p>"
+    chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+               + hex(len(body))[2:].encode() + b"\r\n" + body + b"\r\n0\r\n\r\n")
+    gzipped_body = _gzip.compress(body)
+    gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gzipped_body)
+    recs = []
+    for i, http in enumerate((chunked, gz)):
+        recs.append(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: http://x/{i}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http + b"\r\n\r\n"
+        )
+    got = [r for r in parse_warc_records(b"".join(recs)) if "_skipped" not in r]
+    assert [r["html"] for r in got] == [body, body]
+
+
+def test_skip_counter_accumulator(spark, tmp_path):
+    d = tmp_path / "warcs2"
+    d.mkdir()
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: 5\r\n\r\nhello\r\n\r\n")  # missing target uri
+    (d / "m.warc").write_bytes(bad + write_warc(RECORDS))
+    counter = spark.sparkContext.accumulator(0)
+    pages = read_warc(spark, str(d), skip_counter=counter)
+    assert pages.count() == 2
+    assert counter.value == 1
