@@ -1,0 +1,61 @@
+"""URL canonicalization: the dedup key normalizer every crawl pipeline runs
+before url-level dedup (http/https and fragment/tracking-param variants of
+the same page must collide).
+
+All transforms are native column expressions (codegen'd) built from regex
+primitives that exist identically in Spark and DuckDB, so the operator is
+oracle-checkable end-to-end:
+
+1. scheme and host lowercased;
+2. default ports stripped (:80 for http, :443 for https);
+3. fragment dropped;
+4. tracking query parameters removed (utm_*, gclid, fbclid);
+5. trailing '?'/'&' debris cleaned;
+6. trailing slash dropped from non-root paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# capture: scheme :// host[:port] rest
+_SPLIT_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$"
+TRACKING_PARAM_RE = r"(utm_[a-z]+|gclid|fbclid)=[^&#]*"
+
+
+def canonical_url_col(url: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(url, _SPLIT_RE, 1))
+    host = F.lower(F.regexp_extract(url, _SPLIT_RE, 2))
+    rest = F.regexp_extract(url, _SPLIT_RE, 3)
+
+    # default ports are scheme-specific: :80 only for http, :443 only https
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+
+    rest = F.regexp_replace(rest, r"#.*$", "")                # fragment
+    rest = F.regexp_replace(rest, TRACKING_PARAM_RE + "&?", "")  # tracking params
+    rest = F.regexp_replace(rest, r"[?&]$", "")               # debris
+    rest = F.regexp_replace(rest, r"(.)/$", r"$1")            # trailing slash
+
+    return F.when(
+        scheme == "", url  # not a parseable absolute url: pass through
+    ).otherwise(F.concat(scheme, F.lit("://"), host, rest))
+
+
+def canonicalize(df: DataFrame, url_col: str = "url",
+                 out_col: str = "canonical_url") -> DataFrame:
+    return df.withColumn(out_col, canonical_url_col(F.col(url_col)))
+
+
+def url_dedup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_variants): how many raw urls collapse per canonical
+    form — the pre-dedup cardinality report."""
+    return (
+        canonicalize(df, url_col)
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"))
+    )

@@ -699,6 +699,66 @@ _ORACLE_COSINE = """
     from ranked where rank <= 5
 """
 
+def q_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urlnorm.py) over urls synthesized
+    deterministically from doc ids: scheme/host lowering, default-port
+    strip, fragment + utm/gclid/fbclid removal, trailing-slash collapse —
+    then the variant-count per canonical form."""
+    from .operators.urlnorm import url_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    # four raw variants of the same logical page per document
+    variants = F.array(
+        F.concat(F.lit("HTTPS://Shop.Example.COM:443/p/"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("https://shop.example.com/p/"), F.col("doc_id").cast("string"),
+                 F.lit("?utm_source=x&utm_campaign=y")),
+        F.concat(F.lit("https://shop.example.com/p/"), F.col("doc_id").cast("string"),
+                 F.lit("/#frag")),
+        F.concat(F.lit("http://other.example.com:80/q/"), F.col("doc_id").cast("string")),
+    )
+    urls = docs.select(F.explode(variants).alias("url"))
+    return url_dedup_groups(urls)
+
+
+_ORACLE_URLNORM = """
+    with raw as (
+        select unnest([
+            'HTTPS://Shop.Example.COM:443/p/' || doc_id,
+            'https://shop.example.com/p/' || doc_id
+                || '?utm_source=x&utm_campaign=y',
+            'https://shop.example.com/p/' || doc_id || '/#frag',
+            'http://other.example.com:80/q/' || doc_id
+        ]) as url
+        from documents
+    ),
+    split as (
+        select url,
+            lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 1)) as scheme,
+            lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 2)) as host,
+            regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 3) as rest
+        from raw
+    ),
+    canon as (
+        select
+            case when scheme = '' then url else
+                scheme || '://' ||
+                case when scheme = 'http' then regexp_replace(host, ':80$', '')
+                     when scheme = 'https' then regexp_replace(host, ':443$', '')
+                     else host end ||
+                regexp_replace(
+                    regexp_replace(
+                        regexp_replace(
+                            regexp_replace(rest, '#.*$', ''),
+                            '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+                        '[?&]$', ''),
+                    '(.)/$', '\\1')
+            end as canonical_url
+        from split
+    )
+    select canonical_url, count(*) as n_variants from canon group by 1
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs, exact (cosine >= 0.35 over the first
     300 vectors — the synthetic embeddings top out near 0.46, so this yields
@@ -1106,6 +1166,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_counts": q_lang_counts,
     "similarity_cosine_topk": q_cosine_topk,
+    "url_canonicalization": q_url_canonicalization,
     "embedding_near_dup": q_embedding_near_dup,
     "minhash_band_pairs": q_minhash_band_pairs,
     "tpch_q1_pricing_summary": q_pricing_summary,
@@ -1137,6 +1198,7 @@ ORACLES = {
     "text_stats": _ORACLE_TEXT_STATS,
     "lang_id_counts": _ORACLE_LANG,
     "similarity_cosine_topk": _ORACLE_COSINE,
+    "url_canonicalization": _ORACLE_URLNORM,
     "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
     "minhash_band_pairs": _ORACLE_BAND_PAIRS,
     "tpch_q1_pricing_summary": _ORACLE_Q1,
