@@ -227,13 +227,17 @@ def q_h8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the per-user gap exceeds 30 minutes."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is stable
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
-    gap_us = us - prev_us
+    # parquet ts is TIMESTAMP_NTZ. Compare NTZ values DIRECTLY — never cast
+    # to TIMESTAMP (the NTZ->TS cast goes through spark.sql.session.timeZone,
+    # so gaps spanning a DST transition shift under a non-UTC session; the
+    # round-1 driver gate ran exactly that and flagged the hash). NTZ minus
+    # NTZ is a day-time interval: pure local-datetime arithmetic, identical
+    # to the oracle's epoch_us() difference under ANY session timezone.
+    prev_ts = F.lag("ts").over(w)
+    gap_gt = (F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")
     marked = ev.withColumn(
         "new_session",
-        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+        F.when(prev_ts.isNull() | gap_gt, 1).otherwise(0),
     )
     return marked.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"),
@@ -982,21 +986,40 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (the batch twin of
     streaming.windowed_domain_counts)."""
     ev = load_table(spark, sf_dir, "events")
+    # NTZ-native hour truncation: date_trunc() coerces TIMESTAMP_NTZ through
+    # the session-timezone TIMESTAMP type (verified: values shift under a
+    # non-UTC session), so rebuild the hour from tz-free field extraction —
+    # make_timestamp_ntz keeps the whole computation in the naive domain,
+    # matching DuckDB's (always-naive) date_trunc exactly.
+    hour_ntz = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+    )
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            hour_ntz.alias("hour"),
             F.col("event_type"),
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # Exact-integer average (the money-cents rule): a double
+            # sum's value depends on accumulation order, and at sf0.1 the
+            # engines' partial-agg orders flip the 6th decimal. Summing
+            # micro-units as BIGINT is order-independent; divide once.
+            F.round(
+                F.sum(F.round(F.col("value") * 1e6).cast("long"))
+                / 1e6
+                / F.count("*"),
+                6,
+            ).alias("avg_value"),
         )
     )
 
 
 _ORACLE_EVENTS_HOURLY = """
     select date_trunc('hour', ts) as hour, event_type,
-        count(*) as n_events, round(avg(value), 6) as avg_value
+        count(*) as n_events,
+        round(sum(cast(round(value * 1000000) as bigint)) / 1000000.0
+              / count(*), 6) as avg_value
     from events group by 1, 2
 """
 
@@ -1024,7 +1047,10 @@ def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct variant is tolerance-tested in pytest since HLL
     sketches differ across engines)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+    # NTZ-native: TIMESTAMP_NTZ -> DATE takes the local date part with no
+    # session-timezone surface (verified stable under UTC vs America/New_York,
+    # unlike date_trunc / the NTZ->TIMESTAMP cast).
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
