@@ -258,6 +258,231 @@ _ORACLE_H8 = """
     from marked group by user_id
 """
 
+
+# ---------------------------------------------------------------------------
+# H3/H4/H6 word synthesis: the documents vocabulary has no digits or receipt
+# keywords, so (exactly like m2's synthesized predictions) deterministic
+# receipt-ish tokens are injected by (doc_id, pos) arithmetic — subtotal/tax
+# keywords, $-amounts, comma amounts, and all three reference date shapes.
+# The imperative kernels (reference_semantics.extract_subtotal/tax/date) are
+# the authority; tests/test_heuristic_tail_queries.py pins these relational
+# formulations to them document-by-document.
+# ---------------------------------------------------------------------------
+
+
+def _receipt_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_doc_words with deterministic receipt-token injection (H3/H4/H6)."""
+    w = _doc_words(spark, sf_dir)
+    sel = (F.col("pos") * 31 + F.col("doc_id")) % 53
+    cents = F.lpad(((F.col("pos") * 3 + F.col("doc_id")) % 100).cast("string"), 2, "0")
+    dollars = ((F.col("pos") * 7 + F.col("doc_id")) % 90 + 10).cast("string")
+    thous = F.lpad(((F.col("pos") * 11 + F.col("doc_id")) % 1000).cast("string"), 3, "0")
+    ones = (F.col("pos") % 9 + 1).cast("string")
+    mm = (F.col("doc_id") % 12 + 1).cast("string")
+    dd = (F.col("pos") % 28 + 1).cast("string")
+    yyyy = (F.col("doc_id") % 5 + 2020).cast("string")
+    yyyy2 = (F.col("pos") % 6 + 2019).cast("string")
+    tok = (
+        F.when(sel == 0, F.lit("Subtotal:"))
+        .when(sel == 1, F.lit("Sub-Total"))
+        .when(sel == 2, F.lit("tax"))
+        .when(sel == 3, F.lit("VAT"))
+        .when(sel == 7, F.concat(F.lit("$"), dollars, F.lit("."), cents))
+        .when(sel == 9, F.concat(ones, F.lit(","), thous, F.lit("."), cents))
+        .when(sel == 20, F.concat(mm, F.lit("/"), dd, F.lit("/"), yyyy))
+        .when(sel == 21, F.concat(yyyy2, F.lit("-"), F.lpad(mm, 2, "0"),
+                                  F.lit("-"), F.lpad(dd, 2, "0")))
+        # sel 30 -> 31 -> 39 are consecutive positions (step 31 mod 53), so
+        # every 'March' is followed by '15,' '2021' — exercising the
+        # month-name date pattern that spans word boundaries.
+        .when(sel == 30, F.lit("March"))
+        .when(sel == 8, F.lit("15,"))
+        .when(sel == 39, F.lit("2021"))
+        .otherwise(F.col("tok"))
+    )
+    return w.withColumn("tok", tok)
+
+
+_SQL_RWORDS = _SQL_WORDS + r"""
+    , rwords as (
+        select doc_id, pos,
+            case (pos * 31 + doc_id) % 53
+                when 0 then 'Subtotal:'
+                when 1 then 'Sub-Total'
+                when 2 then 'tax'
+                when 3 then 'VAT'
+                when 7 then '$' || cast((pos * 7 + doc_id) % 90 + 10 as varchar)
+                    || '.' || lpad(cast((pos * 3 + doc_id) % 100 as varchar), 2, '0')
+                when 9 then cast(pos % 9 + 1 as varchar)
+                    || ',' || lpad(cast((pos * 11 + doc_id) % 1000 as varchar), 3, '0')
+                    || '.' || lpad(cast((pos * 3 + doc_id) % 100 as varchar), 2, '0')
+                when 20 then cast(doc_id % 12 + 1 as varchar)
+                    || '/' || cast(pos % 28 + 1 as varchar)
+                    || '/' || cast(doc_id % 5 + 2020 as varchar)
+                when 21 then cast(pos % 6 + 2019 as varchar)
+                    || '-' || lpad(cast(doc_id % 12 + 1 as varchar), 2, '0')
+                    || '-' || lpad(cast(pos % 28 + 1 as varchar), 2, '0')
+                when 30 then 'March'
+                when 8 then '15,'
+                when 39 then '2021'
+                else tok
+            end as tok,
+            x0, y0, x1, y1, conf
+        from words
+    )
+"""
+
+_AMOUNT_REGEX = r"\$?\s*(\d{1,3}(?:,\d{3})*(?:\.\d{2})?)"
+
+
+def _q_windowed_amount(
+    spark: SparkSession, sf_dir: str, keywords: tuple, value_name: str
+) -> DataFrame:
+    """Shared H3/H4 shape (receipt_processor.py:449-497): first keyword word
+    (substring test on the lowercased token) → first AMOUNT_RE match in
+    positions [kw-2, kw+4]; value is the regex group with commas stripped
+    (raw, no Decimal), zero amounts kept."""
+    w = _receipt_words(spark, sf_dir)
+    low = F.lower(F.col("tok"))
+    is_kw = F.lit(False)
+    for k in keywords:
+        is_kw = is_kw | low.contains(k)
+    kw = w.where(is_kw).select("doc_id", F.col("pos").alias("kw_pos"))
+    amt = F.regexp_extract(F.col("tok"), _AMOUNT_REGEX, 1)
+    cand = w.select(
+        "doc_id",
+        F.col("pos").alias("m_pos"),
+        amt.alias("amt"),
+        "conf", "x0", "y0", "x1", "y1",
+    ).where(F.col("amt") != "")
+    joined = kw.join(cand, "doc_id").where(
+        (F.col("m_pos") >= F.col("kw_pos") - 2)
+        & (F.col("m_pos") <= F.col("kw_pos") + 4)
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("kw_pos").asc(), F.col("m_pos").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id", "kw_pos", "m_pos",
+            F.replace(F.col("amt"), F.lit(","), F.lit("")).alias(value_name),
+            "conf", "x0", "y0", "x1", "y1",
+        )
+    )
+
+
+def q_h3_subtotal_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 subtotal window [-2,+4] (receipt_processor.py:449-472)."""
+    return _q_windowed_amount(
+        spark, sf_dir, ref_sem.SUBTOTAL_KEYWORDS, "subtotal_value"
+    )
+
+
+def q_h4_tax_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 tax window [-2,+4], keywords tax/vat/gst/hst
+    (receipt_processor.py:474-497)."""
+    return _q_windowed_amount(spark, sf_dir, ref_sem.TAX_KEYWORDS, "tax_value")
+
+
+def _oracle_windowed_amount(keyword_preds: str, value_name: str) -> str:
+    return _SQL_RWORDS + rf"""
+    , kw as (
+        select doc_id, pos as kw_pos from rwords
+        where {keyword_preds}
+    ),
+    cand as (
+        select doc_id, pos as m_pos,
+            regexp_extract(tok, '\$?\s*(\d{{1,3}}(?:,\d{{3}})*(?:\.\d{{2}})?)', 1)
+                as amt,
+            conf, x0, y0, x1, y1
+        from rwords
+    ),
+    joined as (
+        select kw.doc_id, kw_pos, m_pos, amt, conf, x0, y0, x1, y1,
+            row_number() over (
+                partition by kw.doc_id order by kw_pos asc, m_pos asc
+            ) as rn
+        from kw join cand on kw.doc_id = cand.doc_id
+        where amt <> '' and m_pos >= kw_pos - 2 and m_pos <= kw_pos + 4
+    )
+    select doc_id, kw_pos, m_pos, replace(amt, ',', '') as {value_name},
+        conf, x0, y0, x1, y1
+    from joined where rn = 1
+"""
+
+
+_ORACLE_H3 = _oracle_windowed_amount(
+    "contains(lower(tok), 'subtotal') or contains(lower(tok), 'sub total')"
+    " or contains(lower(tok), 'sub-total')",
+    "subtotal_value",
+)
+
+_ORACLE_H4 = _oracle_windowed_amount(
+    "contains(lower(tok), 'tax') or contains(lower(tok), 'vat')"
+    " or contains(lower(tok), 'gst') or contains(lower(tok), 'hst')",
+    "tax_value",
+)
+
+
+def q_h6_date_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 date regex cascade (receipt_processor.py:418-447): three patterns
+    tried in order over the space-joined text; the first word (OCR order)
+    whose text contains the match or is contained by it supplies conf+box."""
+    w = _receipt_words(spark, sf_dir)
+    ordered = F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok"))))
+    full_txt = w.groupBy("doc_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s["tok"]), " ").alias("full")
+    )
+    p1 = r"(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})"
+    p2 = r"(\d{4}[/-]\d{1,2}[/-]\d{1,2})"
+    p3 = (
+        r"(?i)((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+        r"[a-z]* \d{1,2},? \d{4})"
+    )
+    ext = lambda p: F.nullif(F.regexp_extract(F.col("full"), p, 1), F.lit(""))
+    dates = full_txt.select(
+        "doc_id", F.coalesce(ext(p1), ext(p2), ext(p3)).alias("date_value")
+    ).where(F.col("date_value").isNotNull())
+    joined = dates.join(w, "doc_id").where(
+        F.col("tok").contains(F.col("date_value"))
+        | F.col("date_value").contains(F.col("tok"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    return (
+        joined.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "date_value", "conf", "x0", "y0", "x1", "y1")
+    )
+
+
+_ORACLE_H6 = _SQL_RWORDS + r"""
+    , full_txt as (
+        select doc_id, string_agg(tok, ' ' order by pos) as full_text
+        from rwords group by doc_id
+    ),
+    dates as (
+        select doc_id, coalesce(
+            nullif(regexp_extract(full_text, '(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})', 1), ''),
+            nullif(regexp_extract(full_text, '(\d{4}[/-]\d{1,2}[/-]\d{1,2})', 1), ''),
+            nullif(regexp_extract(full_text,
+                '(?i)((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{1,2},? \d{4})',
+                1), '')
+        ) as date_value
+        from full_txt
+    ),
+    hit as (
+        select d.doc_id, d.date_value, w.pos, w.conf, w.x0, w.y0, w.x1, w.y1,
+            row_number() over (partition by d.doc_id order by w.pos asc) as rn
+        from dates d join rwords w on d.doc_id = w.doc_id
+        where d.date_value is not null
+          and (contains(w.tok, d.date_value) or contains(d.date_value, w.tok))
+    )
+    select doc_id, date_value, conf, x0, y0, x1, y1 from hit where rn = 1
+"""
+
+
 def q_o6_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 subword tokenization with parent-box inheritance
     (receipt_processor.py:301-332): BPE-ish regex split, every subtoken
@@ -1183,7 +1408,10 @@ QUERIES = {
     "m2_bio_entity_merge": q_bio_entity_merge,
     "h1_vendor_top3": q_h1_vendor_top3,
     "h2_keyword_window": q_h2_keyword_window,
+    "h3_subtotal_window": q_h3_subtotal_window,
+    "h4_tax_window": q_h4_tax_window,
     "h5_keyword_case": q_h5_keyword_case,
+    "h6_date_regex": q_h6_date_regex,
     "h8_sessionize_events": q_h8_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_dedup_minhash,
@@ -1215,7 +1443,10 @@ ORACLES = {
     "m2_bio_entity_merge": _ORACLE_BIO,
     "h1_vendor_top3": _ORACLE_H1,
     "h2_keyword_window": _ORACLE_H2,
+    "h3_subtotal_window": _ORACLE_H3,
+    "h4_tax_window": _ORACLE_H4,
     "h5_keyword_case": _ORACLE_H5,
+    "h6_date_regex": _ORACLE_H6,
     "h8_sessionize_events": _ORACLE_H8,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_minhash_signatures": _ORACLE_MINHASH,
