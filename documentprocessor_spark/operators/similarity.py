@@ -27,6 +27,12 @@ from pyspark.sql.window import Window
 DEFAULT_K = 10
 DEFAULT_LSH_BITS = 8
 
+# cosine_topk_vectorized collects the query side onto the driver (the
+# broadcast-small-side pattern); above this many query vectors that collect
+# would OOM the driver at scale, so fail fast with a clear error instead —
+# the caller should LSH-bucket (lsh_bucketed_topk) or chunk the query set.
+QUERY_COLLECT_LIMIT = 100_000
+
 
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -102,6 +108,13 @@ def cosine_topk_vectorized(corpus: DataFrame, queries: DataFrame,
         ]
     )
 
+    n_queries = queries.limit(QUERY_COLLECT_LIMIT + 1).count()
+    if n_queries > QUERY_COLLECT_LIMIT:
+        raise ValueError(
+            f"cosine_topk_vectorized collects the query set onto the driver; "
+            f"got more than {QUERY_COLLECT_LIMIT} query vectors. Use "
+            f"lsh_bucketed_topk or chunk the query DataFrame."
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:  # empty query set: same empty result as the exact path
         return (

@@ -989,36 +989,54 @@ _ORACLE_URLNORM = """
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs, exact (cosine >= 0.35 over the first
-    300 vectors — the synthetic embeddings top out near 0.46, so this yields
-    a real result set). The LSH-bucketed variant (operators.similarity) is
-    the scale path; tests pin it as a subset of this exact result."""
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < 300)
-        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    """Embedding near-duplicate pairs via the LSH-bucketed scale path
+    (similarity.embedding_near_dup_pairs): sign-random-projection buckets
+    from deterministic md5-parity hyperplanes, pair join as an equi-join on
+    the bucket key — never a cross product — over the FULL embeddings table.
+    The capped exact all-pairs variant is the pytest recall cross-check
+    (tests/test_similarity.py); this entry certifies the plan you'd ship at
+    scale. cosine >= 0.35 because the synthetic embeddings top out near
+    0.46."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(similarity.cosine_col(F.col("va"), F.col("vb")), 6)
-    return (
-        pairs.withColumn("cosine", cos)
-        .where(F.col("cosine") >= 0.35)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    return similarity.embedding_near_dup_pairs(emb, dim=64, threshold=0.35)
 
 
-_ORACLE_EMB_NEAR_DUP = """
-    with e as (select vec_id, embedding from embeddings where vec_id < 300),
+def _emb_near_dup_oracle(dim: int = 64, bits: int = 8,
+                         threshold: float = 0.35) -> str:
+    """DuckDB twin of embedding_near_dup_pairs: the md5-parity hyperplanes
+    are materialized as literal arrays (same _hyperplane values the Spark
+    expression embeds), so bucket ids are reproduced exactly."""
+    rows = ", ".join(
+        "({b}, {v}, [{s}])".format(
+            b=b,
+            v=2 ** b,
+            s=", ".join(
+                f"{x:.1f}" for x in similarity._hyperplane(b, dim)
+            ),
+        )
+        for b in range(bits)
+    )
+    return f"""
+    with planes as (select * from (values {rows}) as t(bit, bit_val, s)),
+    e as (select vec_id, cast(embedding as double[]) as v from embeddings),
+    comp as (
+        select vec_id, bit, bit_val, sum(v[i + 1] * s[i + 1]) as dot
+        from e, planes, lateral unnest(range(len(v))) as u(i)
+        group by vec_id, bit, bit_val
+    ),
+    buck as (
+        select vec_id, sum(case when dot > 0 then bit_val else 0 end) as bucket
+        from comp group by vec_id
+    ),
+    eb as (select e.vec_id, v, bucket from e join buck using (vec_id)),
     pairs as (
-        select a.vec_id as vec_a, b.vec_id as vec_b,
-            a.embedding as va, b.embedding as vb
-        from e a join e b on a.vec_id < b.vec_id
+        select a.vec_id as vec_a, b.vec_id as vec_b, a.v as va, b.v as vb
+        from eb a join eb b on a.bucket = b.bucket and a.vec_id < b.vec_id
     ),
     expanded as (
-        select vec_a, vec_b,
-            cast(va[i + 1] as double) as x, cast(vb[i + 1] as double) as y
+        select vec_a, vec_b, va[i + 1] as x, vb[i + 1] as y
         from pairs, lateral unnest(range(len(va))) as u(i)
     ),
     agg as (
@@ -1027,8 +1045,11 @@ _ORACLE_EMB_NEAR_DUP = """
         from expanded group by vec_a, vec_b
     )
     select vec_a, vec_b, round(dot / (na * nb), 6) as cosine
-    from agg where round(dot / (na * nb), 6) >= 0.35
+    from agg where round(dot / (na * nb), 6) >= {threshold}
 """
+
+
+_ORACLE_EMB_NEAR_DUP = _emb_near_dup_oracle()
 
 
 def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,3 +63,46 @@ def test_near_dup_pairs_finds_scaled_copy(spark):
     pairs = {(r["vec_a"], r["vec_b"]) for r in got}
     assert (0, 1) in pairs
     assert all(p == (0, 1) for p in pairs)
+
+
+def test_near_dup_lsh_subset_of_exact(spark):
+    """Recall cross-check for the driver's embedding_near_dup entry: every
+    LSH-bucketed pair appears in the exact all-pairs result with the SAME
+    rounded cosine (LSH only prunes, never invents or rescores)."""
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs(
+            emb, dim=64, threshold=0.30
+        ).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine", F.round(similarity.cosine_col(F.col("va"), F.col("vb")), 6)
+        )
+        .where(F.col("cosine") >= 0.30)
+        .select("vec_a", "vec_b", "cosine")
+        .collect()
+    }
+    assert len(lsh) > 0  # 11 pairs at sf0.001 / threshold 0.30
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+
+
+def test_vectorized_topk_query_collect_guard(spark, emb_df, monkeypatch):
+    monkeypatch.setattr(similarity, "QUERY_COLLECT_LIMIT", 5)
+    with pytest.raises(ValueError, match="query vectors"):
+        similarity.cosine_topk_vectorized(emb_df, emb_df, k=3)
+    # under the limit still works
+    out = similarity.cosine_topk_vectorized(emb_df, emb_df.limit(2), k=3)
+    assert out.count() > 0
