@@ -483,6 +483,213 @@ _ORACLE_H6 = _SQL_RWORDS + r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# M4/M5/M6: generative-parse operators over synthesized generation outputs.
+# Each doc_id deterministically picks a sequence "family" covering a distinct
+# parser path (full CORD mapping, string-subtotal/cashprice, malformed ->
+# regex fallback, the single-item-menu AttributeError quirk, zero amounts;
+# valid JSON, bad JSON -> fallback, no blob, falsy/edge values). The Spark
+# side runs the REAL parser (operators.genmodel_parse.parse_generated, the
+# batched pandas UDF); the oracle states the expected parse per family with
+# pure CASE arithmetic — if the parser drifts, the hash goes red.
+# ---------------------------------------------------------------------------
+
+
+def _lit_concat(*parts):
+    return F.concat(*[F.lit(p) if isinstance(p, str) else p for p in parts])
+
+
+def _gen_nums():
+    d = F.col("doc_id")
+    return {
+        "a": (d % 90 + 10).cast("string"),
+        "c": (d % 4 + 1).cast("string"),
+        "u": (d % 50 + 1).cast("string"),
+        "p": (d % 70 + 2).cast("string"),
+        "st": (d % 900 + 100).cast("string"),
+        "tx": (d % 80 + 5).cast("string"),
+        "tot": (d % 990 + 10).cast("string"),
+    }
+
+
+def _flatten_entities(parsed: DataFrame) -> DataFrame:
+    e = F.col("entities")
+    item1 = F.get(e["line_items"], 0)  # null on empty (ANSI-safe)
+    return parsed.select(
+        "doc_id",
+        e["total_amount"]["value"].alias("total_value"),
+        e["total_amount"]["confidence"].alias("total_conf"),
+        e["subtotal"]["value"].alias("subtotal_value"),
+        e["subtotal"]["confidence"].alias("subtotal_conf"),
+        e["tax_amount"]["value"].alias("tax_value"),
+        e["tax_amount"]["confidence"].alias("tax_conf"),
+        F.size(e["line_items"]).alias("n_line_items"),
+        item1["description"].alias("item1_desc"),
+        item1["quantity"].alias("item1_qty"),
+        item1["unit_price"].alias("item1_unit"),
+        item1["line_total"].alias("item1_total"),
+    )
+
+
+def q_m4_cord_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 Donut CORD parse + M5 regex fallback (donut.py:211-345) over
+    synthesized token sequences, one family per doc_id % 5:
+    0 full CORD; 1 string sub_total + cashprice total; 2 missing close tag
+    -> token2json ValueError -> regex fallback; 3 single-item menu dict ->
+    AttributeError -> fallback finds nothing (all null); 4 zero-string
+    amount kept ('0' is a truthy string on the Donut path)."""
+    from .operators.genmodel_parse import parse_generated
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = _gen_nums()
+    fam = F.col("doc_id") % 5
+    seq = (
+        F.when(fam == 0, _lit_concat(
+            "<s_menu><s_nm>Item ", n["a"], "</s_nm><s_cnt>", n["c"],
+            "</s_cnt><s_unitprice>$", n["u"], ".00</s_unitprice><s_price>",
+            n["p"], ".50</s_price><sep/><s_nm>Extra ", n["a"],
+            "</s_nm><s_cnt>2x</s_cnt><s_price>", n["p"],
+            ".00</s_price></s_menu><s_sub_total><s_subtotal_price>", n["st"],
+            ".25</s_subtotal_price><s_tax_price>", n["tx"],
+            ".10</s_tax_price></s_sub_total><s_total><s_total_price>",
+            n["tot"], ".85</s_total_price></s_total>"))
+        .when(fam == 1, _lit_concat(
+            "<s_sub_total>", n["st"], ".00</s_sub_total><s_total><s_cashprice>",
+            n["tot"], ".00</s_cashprice></s_total>"))
+        .when(fam == 2, _lit_concat(
+            "<s_total>Total: $", n["tot"], ".99 tax ", n["tx"], ".01"))
+        .when(fam == 3, _lit_concat(
+            "<s_menu><s_nm>Solo</s_nm><s_price>5.00</s_price></s_menu>"
+            "<s_total><s_total_price>", n["tot"],
+            ".75</s_total_price></s_total>"))
+        .otherwise(_lit_concat(
+            "<s_sub_total><s_subtotal_price>", n["st"],
+            ".00</s_subtotal_price></s_sub_total>"
+            "<s_total><s_total_price>0</s_total_price></s_total>"))
+    )
+    gen = docs.select("doc_id", seq.alias("sequence"), F.lit("donut").alias("model"))
+    return _flatten_entities(parse_generated(gen))
+
+
+_ORACLE_M4 = """
+    with d as (
+        select doc_id, doc_id % 5 as fam,
+            cast(doc_id % 90 + 10 as varchar) as a,
+            cast(doc_id % 4 + 1 as int) as c,
+            cast(doc_id % 50 + 1 as varchar) as u,
+            cast(doc_id % 70 + 2 as varchar) as p,
+            cast(doc_id % 900 + 100 as varchar) as st,
+            cast(doc_id % 80 + 5 as varchar) as tx,
+            cast(doc_id % 990 + 10 as varchar) as tot
+        from documents
+    )
+    select doc_id,
+        case fam when 0 then tot || '.85' when 1 then tot || '.00'
+                 when 2 then tot || '.99' when 4 then '0' end as total_value,
+        cast(case fam when 0 then 0.8 when 1 then 0.8 when 2 then 0.6
+                 when 4 then 0.8 end as double) as total_conf,
+        case fam when 0 then st || '.25' when 1 then st || '.00'
+                 when 4 then st || '.00' end as subtotal_value,
+        cast(case fam when 0 then 0.8 when 1 then 0.8
+                 when 4 then 0.8 end as double) as subtotal_conf,
+        case fam when 0 then tx || '.10' when 2 then tx || '.01' end as tax_value,
+        cast(case fam when 0 then 0.8 when 2 then 0.6 end as double) as tax_conf,
+        cast(case fam when 0 then 2 else 0 end as int) as n_line_items,
+        case fam when 0 then 'Item ' || a end as item1_desc,
+        case fam when 0 then c end as item1_qty,
+        case fam when 0 then u || '.00' end as item1_unit,
+        case fam when 0 then p || '.50' end as item1_total
+    from d
+"""
+
+
+def q_m6_idefics_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 IDEFICS2 response parse + fallback (idefics2.py:270-396) over
+    synthesized responses, one family per doc_id % 4:
+    0 valid JSON with cleanable amounts; 1 malformed JSON blob ->
+    JSONDecodeError -> regex fallback (vendor/date/total); 2 no JSON blob at
+    all -> everything empty (fallback does NOT run); 3 falsy vendor/total
+    skipped, non-dict and empty-description line items dropped, null
+    line_total stays null."""
+    from .operators.genmodel_parse import parse_generated
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = _gen_nums()
+    fam = F.col("doc_id") % 4
+    resp = (
+        F.when(fam == 0, _lit_concat(
+            'Here is the data: {"vendor_name": "Store ', n["a"],
+            '", "date": "2024-05-1', (F.col("doc_id") % 10).cast("string"),
+            '", "total_amount": "$ ', n["tot"],
+            '.99", "subtotal": ', n["st"], ', "tax_amount": "', n["tx"],
+            '.50 USD", "line_items": [{"description": "Widget ', n["a"],
+            '", "quantity": "3", "unit_price": "4.25", "line_total": "1',
+            n["c"], '.75"}]}'))
+        .when(fam == 1, _lit_concat(
+            "ACME Corp receipt ", '{"vendor_name": } total: ', n["tot"],
+            ".25 due 3/1", (F.col("doc_id") % 10).cast("string"), "/2024"))
+        .when(fam == 2, _lit_concat("plain text receipt number ", n["a"]))
+        .otherwise(_lit_concat(
+            '{"vendor_name": "", "total_amount": 0, "subtotal": "7.25", '
+            '"tax_amount": "', n["tx"],
+            '", "line_items": ["x", {"description": ""}, '
+            '{"description": "Gadget ', n["a"],
+            '", "quantity": "2 pcs", "unit_price": "$3", "line_total": null}]}'))
+    )
+    gen = docs.select(
+        "doc_id", resp.alias("sequence"), F.lit("idefics2").alias("model")
+    )
+    e = F.col("entities")
+    item1 = F.get(e["line_items"], 0)  # null on empty (ANSI-safe)
+    return parse_generated(gen).select(
+        "doc_id",
+        e["vendor_name"]["value"].alias("vendor_value"),
+        e["vendor_name"]["confidence"].alias("vendor_conf"),
+        e["date"]["value"].alias("date_value"),
+        e["date"]["confidence"].alias("date_conf"),
+        e["total_amount"]["value"].alias("total_value"),
+        e["total_amount"]["confidence"].alias("total_conf"),
+        e["subtotal"]["value"].alias("subtotal_value"),
+        e["tax_amount"]["value"].alias("tax_value"),
+        F.size(e["line_items"]).alias("n_line_items"),
+        item1["description"].alias("item1_desc"),
+        item1["quantity"].alias("item1_qty"),
+        item1["unit_price"].alias("item1_unit"),
+        item1["line_total"].alias("item1_total"),
+    )
+
+
+_ORACLE_M6 = """
+    with d as (
+        select doc_id, doc_id % 4 as fam,
+            cast(doc_id % 90 + 10 as varchar) as a,
+            cast(doc_id % 4 + 1 as varchar) as c,
+            cast(doc_id % 900 + 100 as varchar) as st,
+            cast(doc_id % 80 + 5 as varchar) as tx,
+            cast(doc_id % 990 + 10 as varchar) as tot,
+            cast(doc_id % 10 as varchar) as dd
+        from documents
+    )
+    select doc_id,
+        case fam when 0 then 'Store ' || a
+                 when 1 then 'ACME Corp receipt' end as vendor_value,
+        cast(case fam when 0 then 0.8 when 1 then 0.5 end as double) as vendor_conf,
+        case fam when 0 then '2024-05-1' || dd
+                 when 1 then '3/1' || dd || '/2024' end as date_value,
+        cast(case fam when 0 then 0.8 when 1 then 0.6 end as double) as date_conf,
+        case fam when 0 then tot || '.99' when 1 then tot || '.25' end as total_value,
+        cast(case fam when 0 then 0.8 when 1 then 0.6 end as double) as total_conf,
+        case fam when 0 then st when 3 then '7.25' end as subtotal_value,
+        case fam when 0 then tx || '.50' when 3 then tx end as tax_value,
+        cast(case fam when 0 then 1 when 3 then 1 else 0 end as int) as n_line_items,
+        case fam when 0 then 'Widget ' || a when 3 then 'Gadget ' || a end as item1_desc,
+        cast(case fam when 0 then 3 when 3 then 2 end as int) as item1_qty,
+        case fam when 0 then '4.25' when 3 then '3' end as item1_unit,
+        case fam when 0 then '1' || c || '.75' end as item1_total
+    from d
+"""
+
+
 def q_o6_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 subword tokenization with parent-box inheritance
     (receipt_processor.py:301-332): BPE-ish regex split, every subtoken
@@ -1427,6 +1634,8 @@ QUERIES = {
     "o4_normalize_boxes": q_o4_normalize,
     "o6_subword_tokens": q_o6_subword_tokens,
     "m2_bio_entity_merge": q_bio_entity_merge,
+    "m4_cord_parse": q_m4_cord_parse,
+    "m6_idefics_parse": q_m6_idefics_parse,
     "h1_vendor_top3": q_h1_vendor_top3,
     "h2_keyword_window": q_h2_keyword_window,
     "h3_subtotal_window": q_h3_subtotal_window,
@@ -1462,6 +1671,8 @@ ORACLES = {
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,
     "m2_bio_entity_merge": _ORACLE_BIO,
+    "m4_cord_parse": _ORACLE_M4,
+    "m6_idefics_parse": _ORACLE_M6,
     "h1_vendor_top3": _ORACLE_H1,
     "h2_keyword_window": _ORACLE_H2,
     "h3_subtotal_window": _ORACLE_H3,
