@@ -74,6 +74,18 @@ def with_quality_columns(results: DataFrame) -> DataFrame:
     return results.withColumn("totals_verified", verified)
 
 
+def with_iso_dates(results: DataFrame) -> DataFrame:
+    """H7 date ISO-normalization as an OPT-IN data-quality column: adds
+    `date_iso` (yyyy-MM-dd or null) from date.value via the six-format
+    strptime cascade (field_extractor.py:62-86). Deliberately NOT part of
+    the default output path — the reference defines the function but never
+    wires it (SURVEY.md §8.7), and the byte-identity contract keeps the raw
+    matched date string in date.value."""
+    from ..functions.dates import iso_date_col
+
+    return results.withColumn("date_iso", iso_date_col(F.col("date.value")))
+
+
 def confidence_filter(results: DataFrame, min_confidence: float = 0.5) -> DataFrame:
     """H11 consolidate_fields (field_extractor.py:361-387): null out any
     extracted field whose confidence is below the threshold."""

@@ -690,6 +690,85 @@ _ORACLE_M6 = """
 """
 
 
+_MONTHS_FULL = (
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+)
+_MONTHS_ABBR = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct",
+    "Nov", "Dec",
+)
+
+
+def q_h7_date_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 date ISO-normalization (field_extractor.py:62-86, the opt-in
+    helper): all six reference formats plus a no-date family, synthesized by
+    doc_id arithmetic. Injected dates are VALID (day<=28, 4-digit years) —
+    strptime's strictness edges (Feb-29, 2-digit years) diverge from
+    DuckDB's rolling try_strptime and are pinned by tests/test_date_iso.py
+    against the pure kernel instead."""
+    from .functions.dates import iso_date_col
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    mm = (d % 12 + 1).cast("string")
+    dd = (d % 28 + 1).cast("string")
+    dd13 = (d % 16 + 13).cast("string")
+    yyyy = (d % 40 + 1990).cast("string")
+    mfull = F.element_at(F.array(*[F.lit(m) for m in _MONTHS_FULL]), (d % 12 + 1).cast("int"))
+    mabbr = F.element_at(F.array(*[F.lit(m) for m in _MONTHS_ABBR]), (d % 12 + 1).cast("int"))
+    fam = d % 7
+    date_str = (
+        F.when(fam == 0, F.concat(mm, F.lit("/"), dd, F.lit("/"), yyyy))
+        .when(fam == 1, F.concat(dd13, F.lit("/"), mm, F.lit("/"), yyyy))
+        .when(fam == 2, F.concat(yyyy, F.lit("-"), mm, F.lit("-"), dd))
+        .when(fam == 3, F.concat(mm, F.lit("-"), dd, F.lit("-"), yyyy))
+        .when(fam == 4, F.concat(mfull, F.lit(" "), dd, F.lit(", "), yyyy))
+        .when(fam == 5, F.concat(mabbr, F.lit(" "), dd, F.lit(", "), yyyy))
+        .otherwise(F.concat(F.lit("no date here "), dd))
+    )
+    return docs.select(
+        "doc_id",
+        date_str.alias("date_str"),
+        iso_date_col(date_str).alias("date_iso"),
+    )
+
+
+_ORACLE_H7 = """
+    with d as (
+        select doc_id, doc_id % 7 as fam,
+            cast(doc_id % 12 + 1 as varchar) as mm,
+            cast(doc_id % 28 + 1 as varchar) as dd,
+            cast(doc_id % 16 + 13 as varchar) as dd13,
+            cast(doc_id % 40 + 1990 as varchar) as yyyy,
+            (['January','February','March','April','May','June','July',
+              'August','September','October','November','December'])
+                [doc_id % 12 + 1] as mfull,
+            (['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct',
+              'Nov','Dec'])[doc_id % 12 + 1] as mabbr
+        from documents
+    ),
+    s as (
+        select doc_id,
+            case fam
+                when 0 then mm || '/' || dd || '/' || yyyy
+                when 1 then dd13 || '/' || mm || '/' || yyyy
+                when 2 then yyyy || '-' || mm || '-' || dd
+                when 3 then mm || '-' || dd || '-' || yyyy
+                when 4 then mfull || ' ' || dd || ', ' || yyyy
+                when 5 then mabbr || ' ' || dd || ', ' || yyyy
+                else 'no date here ' || dd
+            end as date_str
+        from d
+    )
+    select doc_id, date_str,
+        strftime(try_strptime(date_str,
+            ['%m/%d/%Y', '%d/%m/%Y', '%Y-%m-%d', '%m-%d-%Y',
+             '%B %d, %Y', '%b %d, %Y']), '%Y-%m-%d') as date_iso
+    from s
+"""
+
+
 def q_o6_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 subword tokenization with parent-box inheritance
     (receipt_processor.py:301-332): BPE-ish regex split, every subtoken
@@ -1642,6 +1721,7 @@ QUERIES = {
     "h4_tax_window": q_h4_tax_window,
     "h5_keyword_case": q_h5_keyword_case,
     "h6_date_regex": q_h6_date_regex,
+    "h7_date_iso": q_h7_date_iso,
     "h8_sessionize_events": q_h8_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_dedup_minhash,
@@ -1679,6 +1759,7 @@ ORACLES = {
     "h4_tax_window": _ORACLE_H4,
     "h5_keyword_case": _ORACLE_H5,
     "h6_date_regex": _ORACLE_H6,
+    "h7_date_iso": _ORACLE_H7,
     "h8_sessionize_events": _ORACLE_H8,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_minhash_signatures": _ORACLE_MINHASH,

@@ -38,6 +38,7 @@ in OCR order — flat and Arrow-friendly, unlike the reference's dict rows.
 from __future__ import annotations
 
 import re
+from datetime import datetime
 from decimal import Decimal, InvalidOperation
 
 # --- regexes / keyword tables (the semantic surface; values must not drift) ---
@@ -209,6 +210,30 @@ def extract_date(words):
                 return _field(
                     date_str, w[CONF], _box_dict(w[X0], w[Y0], w[X1], w[Y1])
                 )
+    return None
+
+
+DATE_ISO_FORMATS = (
+    "%m/%d/%Y", "%d/%m/%Y", "%Y-%m-%d", "%m-%d-%Y", "%B %d, %Y", "%b %d, %Y",
+)
+
+
+def normalize_date_iso(date_str):
+    """H7 date ISO-normalization: strptime over the six reference formats in
+    order, first success rendered %Y-%m-%d, else None.
+
+    /root/reference/Ocr/src/postprocessing/field_extractor.py:62-86 defines
+    this but never wires it into any output path (SURVEY.md §8.7), so the
+    engine keeps it OUT of the default pipeline too — it is the opt-in
+    column helper plans.pipeline.with_iso_dates / functions.dates.iso_date_col.
+    """
+    if date_str is None:
+        return None
+    for fmt in DATE_ISO_FORMATS:
+        try:
+            return datetime.strptime(date_str, fmt).strftime("%Y-%m-%d")
+        except ValueError:
+            continue
     return None
 
 
