@@ -167,18 +167,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = DEFAULT_SHINGLE_N,
                         threshold: float = 0.5,
                         df_cap: int = DEFAULT_DF_CAP) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for pairs with Jaccard >= threshold.
+    """(doc_a, doc_b, jaccard) for pairs with capped-Jaccard >= threshold.
 
-    Exact Jaccard via the shared-shingle equi-join:
-        J = |A∩B| / (|A| + |B| − |A∩B|)
-    Document-frequency capping drops shingles shared by > df_cap documents
-    before the join — the standard stop-shingle cut that keeps the worst
-    join key bounded at corpus scale (silently-capped coverage is reported
-    by the caller's metrics, not hidden: extremely common shingles carry no
-    near-dup signal). All joins run on 8-byte shingle hashes, not strings.
+    CAPPED Jaccard via the shared-shingle equi-join:
+        J = |A'∩B'| / (|A'| + |B'| − |A'∩B'|)
+    where A', B' are the shingle sets AFTER document-frequency capping:
+    shingles shared by > df_cap documents are dropped before the join — the
+    standard stop-shingle cut that keeps the worst join key bounded at
+    corpus scale (extremely common shingles carry no near-dup signal).
+    Numerator AND denominator use the same capped universe: mixing uncapped
+    set sizes with a capped intersection would bias J downward for
+    boilerplate-heavy near-duplicates (stop-shingles inflating only the
+    denominator). All joins run on 8-byte shingle hashes, not strings.
     """
     pairs = doc_shingle_hashes(df, id_col, text_col, n)
-    sizes = pairs.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = (
         pairs.groupBy("sh_hash")
         .agg(F.count("*").alias("df"))
@@ -186,6 +188,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("sh_hash")
     )
     filtered = pairs.join(rare, "sh_hash")
+    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = filtered.alias("a")
     b = filtered.alias("b")
     inter = (

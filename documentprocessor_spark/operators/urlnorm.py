@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 # capture: scheme :// host[:port] rest
 _SPLIT_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$"
-TRACKING_PARAM_RE = r"(utm_[a-z]+|gclid|fbclid)=[^&#]*"
+# Anchored on the preceding '?'/'&' (re-emitted via backreference) so
+# lookalike parameter names — ?xutm_source=1, &myfbclid=2 — are NOT
+# stripped or mangled; only a whole tracking param directly after a
+# delimiter is removed. Debris collapse afterwards handles '?&'/'&&'.
+TRACKING_PARAM_RE = r"([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*"
 
 
 def canonical_url_col(url: Column) -> Column:
@@ -37,8 +41,9 @@ def canonical_url_col(url: Column) -> Column:
     )
 
     rest = F.regexp_replace(rest, r"#.*$", "")                # fragment
-    rest = F.regexp_replace(rest, TRACKING_PARAM_RE + "&?", "")  # tracking params
-    rest = F.regexp_replace(rest, r"[?&]$", "")               # debris
+    rest = F.regexp_replace(rest, TRACKING_PARAM_RE, r"$1")   # tracking params
+    rest = F.regexp_replace(rest, r"([?&])&+", r"$1")         # '?&'/'&&' debris
+    rest = F.regexp_replace(rest, r"[?&]+$", "")              # trailing debris
     rest = F.regexp_replace(rest, r"(.)/$", r"$1")            # trailing slash
 
     return F.when(

@@ -976,11 +976,13 @@ _ORACLE_JACCARD = """
             ('0x' || substr(md5(shingle), 1, 15))::bigint as sh_hash
         from sh
     ),
-    sizes as (select doc_id, count(*) as n_sh from shh group by doc_id),
     rare as (
         select sh_hash from shh group by sh_hash having count(*) <= 50
     ),
     f as (select shh.doc_id, shh.sh_hash from shh join rare using (sh_hash)),
+    -- capped-Jaccard: sizes over the SAME df-filtered universe as the
+    -- intersection (mirrors operators/dedup.ngram_jaccard_pairs)
+    sizes as (select doc_id, count(*) as n_sh from f group by doc_id),
     inter as (
         select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i_n
         from f a join f b on a.sh_hash = b.sh_hash and a.doc_id < b.doc_id
@@ -1222,7 +1224,9 @@ def q_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.urlnorm import url_dedup_groups
 
     docs = load_table(spark, sf_dir, "documents")
-    # four raw variants of the same logical page per document
+    # six raw variants: four collapse onto two logical pages; the last two
+    # pin the [?&]-anchored tracking strip (lookalike params survive, a
+    # tracking param BETWEEN real params drops cleanly)
     variants = F.array(
         F.concat(F.lit("HTTPS://Shop.Example.COM:443/p/"), F.col("doc_id").cast("string")),
         F.concat(F.lit("https://shop.example.com/p/"), F.col("doc_id").cast("string"),
@@ -1230,6 +1234,10 @@ def q_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://shop.example.com/p/"), F.col("doc_id").cast("string"),
                  F.lit("/#frag")),
         F.concat(F.lit("http://other.example.com:80/q/"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("https://shop.example.com/r/"), F.col("doc_id").cast("string"),
+                 F.lit("?xutm_source=keep&myfbclid=alsokeep")),
+        F.concat(F.lit("https://shop.example.com/s/"), F.col("doc_id").cast("string"),
+                 F.lit("?a=1&gclid=zap&b=2&utm_medium=zap")),
     )
     urls = docs.select(F.explode(variants).alias("url"))
     return url_dedup_groups(urls)
@@ -1242,7 +1250,11 @@ _ORACLE_URLNORM = """
             'https://shop.example.com/p/' || doc_id
                 || '?utm_source=x&utm_campaign=y',
             'https://shop.example.com/p/' || doc_id || '/#frag',
-            'http://other.example.com:80/q/' || doc_id
+            'http://other.example.com:80/q/' || doc_id,
+            'https://shop.example.com/r/' || doc_id
+                || '?xutm_source=keep&myfbclid=alsokeep',
+            'https://shop.example.com/s/' || doc_id
+                || '?a=1&gclid=zap&b=2&utm_medium=zap'
         ]) as url
         from documents
     ),
@@ -1263,9 +1275,12 @@ _ORACLE_URLNORM = """
                 regexp_replace(
                     regexp_replace(
                         regexp_replace(
-                            regexp_replace(rest, '#.*$', ''),
-                            '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
-                        '[?&]$', ''),
+                            regexp_replace(
+                                regexp_replace(rest, '#.*$', ''),
+                                '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*',
+                                '\\1', 'g'),
+                            '([?&])&+', '\\1', 'g'),
+                        '[?&]+$', ''),
                     '(.)/$', '\\1')
             end as canonical_url
         from split

@@ -73,21 +73,43 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
+def _parse_http_headers(header_block: bytes) -> dict[str, str]:
+    """HTTP header block → {lowercased name: lowercased value}; the first
+    occurrence of a repeated header wins; the status line is skipped."""
+    headers: dict[str, str] = {}
+    for line in header_block.split(CRLF)[1:]:
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers.setdefault(
+                k.strip().decode("latin-1").lower(),
+                v.strip().decode("latin-1").lower(),
+            )
+    return headers
+
+
 def _decode_http_body(block: bytes) -> bytes:
     """HTTP response block → body bytes, honouring Transfer-Encoding:
-    chunked and Content-Encoding: gzip/deflate."""
+    chunked and Content-Encoding: gzip/deflate.
+
+    Encodings are detected from the ACTUAL header values (comma-split
+    tokens), never substring membership over the whole header block —
+    'Content-Type: application/x-gzip' with an identity body must not
+    trigger gzip.decompress (which would raise and silently drop a legal
+    page), nor 'chunked' appearing in an unrelated header."""
     http_end = block.find(_HDR_END)
     if http_end == -1:
         return block
-    headers = block[:http_end].lower()
+    headers = _parse_http_headers(block[:http_end])
     body = block[http_end + len(_HDR_END):]
-    if b"transfer-encoding:" in headers and b"chunked" in headers:
+    te = [t.strip() for t in headers.get("transfer-encoding", "").split(",")]
+    if "chunked" in te:
         body = _dechunk(body)
-    if b"content-encoding:" in headers:
-        if b"gzip" in headers:
-            body = gzip.decompress(body)
-        elif b"deflate" in headers:
-            body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
+    ce = [t.strip() for t in headers.get("content-encoding", "").split(",") if t.strip()]
+    enc = ce[0] if ce else ""
+    if enc in ("gzip", "x-gzip"):
+        body = gzip.decompress(body)
+    elif enc == "deflate":
+        body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
     return body
 
 

@@ -106,3 +106,46 @@ def test_skip_counter_accumulator(spark, tmp_path):
     pages = read_warc(spark, str(d), skip_counter=counter)
     assert pages.count() == 2
     assert counter.value == 1
+
+
+def test_encoding_detected_from_header_values_not_substrings():
+    """'gzip'/'chunked' appearing in UNRELATED headers must not trigger
+    decompression/dechunking (which raises on an identity body and silently
+    drops the page)."""
+    body = b"<p>plain but gzip-named</p>"
+    cases = [
+        # gzip in Content-Type, identity encoding declared
+        (b"HTTP/1.1 200 OK\r\nContent-Type: application/x-gzip\r\n"
+         b"Content-Encoding: identity\r\n\r\n" + body),
+        # gzip in Content-Type, no Content-Encoding at all
+        (b"HTTP/1.1 200 OK\r\nContent-Type: application/x-gzip\r\n\r\n" + body),
+        # 'chunked' inside an unrelated header value
+        (b"HTTP/1.1 200 OK\r\nX-Upstream: chunked-proxy\r\n\r\n" + body),
+        # Content-Encoding mentioning gzip only in a later header's value
+        (b"HTTP/1.1 200 OK\r\nVia: 1.1 gzip-frontend\r\n\r\n" + body),
+    ]
+    recs = []
+    for i, http in enumerate(cases):
+        recs.append(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: http://x/{i}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http + b"\r\n\r\n"
+        )
+    got = [r for r in parse_warc_records(b"".join(recs)) if "_skipped" not in r]
+    assert len(got) == len(cases)
+    assert all(r["html"] == body for r in got)
+
+
+def test_x_gzip_content_encoding_still_decoded():
+    import gzip as _gzip
+
+    body = b"<p>really gzipped</p>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: x-gzip\r\n\r\n"
+            + _gzip.compress(body))
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/0\r\n"
+           + f"Content-Length: {len(http)}\r\n\r\n".encode()
+           + http + b"\r\n\r\n")
+    got = [r for r in parse_warc_records(rec) if "_skipped" not in r]
+    assert got[0]["html"] == body
