@@ -126,6 +126,10 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        # operators that persist() an intermediate (dedup_ngram_jaccard's
+        # capped shingle relation) must not donate their cache to later
+        # queries or a re-run — every timing is a cold run of ITS query
+        spark.catalog.clearCache()
     spark.stop()
 
     # --- scaling pair N -> 4N (non-oversubscribed proxy) --------------------

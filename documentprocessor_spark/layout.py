@@ -21,9 +21,14 @@ PAGE_W = 800
 PAGE_H = 1200
 
 
+# the confidence formula has period 10 in (line_idx*7 + word_idx*3) — a
+# precomputed table replaces a round() + float arithmetic per word
+_CONF_TABLE = tuple(round(0.90 + k / 100.0, 2) for k in range(10))
+
+
 def word_confidence(line_idx: int, word_idx: int) -> float:
     """Deterministic per-word confidence in [0.90, 0.99]."""
-    return round(0.90 + ((line_idx * 7 + word_idx * 3) % 10) / 100.0, 2)
+    return _CONF_TABLE[(line_idx * 7 + word_idx * 3) % 10]
 
 
 def layout_words(lines: list[str]) -> list[tuple]:
@@ -33,12 +38,15 @@ def layout_words(lines: list[str]) -> list[tuple]:
     downstream heuristic depends on.
     """
     out = []
+    append = out.append
+    conf = _CONF_TABLE
     for li, line in enumerate(lines):
         y0 = MARGIN_Y + li * LINE_H
         y1 = y0 + WORD_H
         x = MARGIN_X
+        li7 = li * 7
         for wi, token in enumerate(line.split()):
             w = max(1, len(token)) * CHAR_W
-            out.append((token, x, y0, x + w, y1, word_confidence(li, wi)))
+            append((token, x, y0, x + w, y1, conf[(li7 + wi * 3) % 10]))
             x += w + WORD_GAP
     return out

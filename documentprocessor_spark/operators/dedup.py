@@ -181,23 +181,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     denominator). All joins run on 8-byte shingle hashes, not strings.
     """
     pairs = doc_shingle_hashes(df, id_col, text_col, n)
+    # One groupBy collects each rare shingle's (sorted, distinct) doc list;
+    # the df-cap bounds the list at df_cap, so the ordered-pair explosion is
+    # <= C(df_cap, 2) rows per shingle — bounded worst key by construction,
+    # and NO self-join of the shingle relation (the previous equi-join
+    # shape recomputed the shingle scan per consumer; measured 2x wall).
+    # `rare` is the compact grouped form (one row per surviving shingle);
+    # it feeds both the pair explosion and the per-doc sizes, so persist it
+    # (at full crawl scale this intermediate checkpoints to storage).
     rare = (
         pairs.groupBy("sh_hash")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= df_cap)
-        .select("sh_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .where(F.size("docs") <= df_cap)
+        .persist()
     )
-    filtered = pairs.join(rare, "sh_hash")
-    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = filtered.alias("a")
-    b = filtered.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh_hash") == F.col("b.sh_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sizes = (
+        rare.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    ordered_pairs = F.explode(
+        F.expr(
+            "flatten(transform(docs, (x, i) -> "
+            "transform(slice(docs, i + 2, size(docs)), "
+            "y -> struct(x as doc_a, y as doc_b))))"
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    inter = (
+        rare.select(ordered_pairs.alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
     return (

@@ -38,6 +38,7 @@ in OCR order — flat and Arrow-friendly, unlike the reference's dict rows.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from datetime import datetime
 from decimal import Decimal, InvalidOperation
 
@@ -353,6 +354,74 @@ def extract_line_items(words):
     return items
 
 
+_DIGITS = frozenset("0123456789")
+
+
+def _line_items_fast(words):
+    """Bit-identical hot-kernel twin of :func:`extract_line_items` (pinned by
+    the fast-path equivalence and fuzz suites; any semantic change lands in
+    BOTH). Digit-free words skip the price/quantity regexes — both require
+    a digit to match — and hot lookups are bound once per call."""
+    items = []
+    isdisjoint = _DIGITS.isdisjoint
+    price_match = PRICE_FULLMATCH_RE.match
+    qty_match = QUANTITY_RE.match
+    skip_search = _SKIP_KW_RE.search
+    for line in group_lines(words):
+        if len(line) < 2:
+            continue
+        line_text = " ".join(w[TEXT] for w in line).lower()
+        if skip_search(line_text):
+            continue
+        desc_parts = []
+        quantity = None
+        unit_price = None
+        line_total = None
+        for w in line:
+            text = w[TEXT].strip()
+            if isdisjoint(text):
+                desc_parts.append(text)
+            elif price_match(text):
+                value = float(text.replace("$", "").replace(",", ""))
+                if line_total is None:
+                    line_total = value
+                elif unit_price is None:
+                    unit_price = line_total
+                    line_total = value
+            else:
+                qm = qty_match(text)
+                if qm:
+                    quantity = int(qm.group(1) or qm.group(2))
+                else:
+                    desc_parts.append(text)
+        if not desc_parts or (line_total is None and unit_price is None):
+            continue
+        if unit_price is None and quantity and line_total:
+            unit_price = round(line_total / quantity, 2)
+        elif unit_price is None:
+            unit_price = line_total
+        if line_total is None and quantity and unit_price:
+            line_total = round(unit_price * quantity, 2)
+        elif line_total is None:
+            line_total = unit_price
+        items.append(
+            {
+                "description": " ".join(desc_parts),
+                "quantity": quantity or 1,
+                "unit_price": unit_price,
+                "line_total": line_total,
+                "box": _box_dict(
+                    min(w[X0] for w in line),
+                    min(w[Y0] for w in line),
+                    max(w[X1] for w in line),
+                    max(w[Y1] for w in line),
+                ),
+                "confidence": sum(w[CONF] for w in line) / len(line),
+            }
+        )
+    return items
+
+
 def extract_fields(words):
     """Full heuristic field extraction for one document — the golden surface.
 
@@ -398,47 +467,63 @@ def extract_fields_fast(words):
     full_lower = " ".join(lowers)
     n = len(words)
     amount_search = AMOUNT_RE.search
-    amatches = [amount_search(t) for t in texts]
+    isdisjoint = _DIGITS.isdisjoint
+    # AMOUNT_RE requires a digit, so digit-free words (most of real web
+    # text) skip the regex entirely — a C-level frozenset check
+    amatches = [None if isdisjoint(t) else amount_search(t) for t in texts]
+
+    # word-start offsets in full_lower (word i spans
+    # [starts[i], starts[i] + len(lowers[i])))
+    starts = [0] * n
+    pos = 0
+    for i, low in enumerate(lowers):
+        starts[i] = pos
+        pos += len(low) + 1
+
+    def kw_word_indexes(kw_re):
+        """Indexes of words containing a keyword, ascending — ONE C-level
+        finditer over the joined text instead of a search per word. A match
+        that crosses a word boundary (only possible for space-bearing
+        keywords like 'sub total') is exactly what per-word containment
+        would reject, so it is skipped here too."""
+        last = -1
+        for m in kw_re.finditer(full_lower):
+            i = bisect_right(starts, m.start()) - 1
+            if i != last and m.end() <= starts[i] + len(lowers[i]):
+                last = i
+                yield i
 
     def windowed(kw_re, lo_off):
-        # Exact prefilter: every word is a substring of the joined text, so
-        # a full-text keyword miss implies a miss in every word — the scan
-        # can only return None. On sparse (non-receipt) web text this skips
-        # the per-word loop entirely.
-        if not kw_re.search(full_lower):
-            return None
-        for i, low in enumerate(lowers):
-            if kw_re.search(low):
-                for j in range(max(0, i + lo_off), min(n, i + 5)):
-                    m = amatches[j]
-                    if m:
-                        wj = words[j]
-                        return _field(
-                            m.group(1).replace(",", ""), wj[CONF],
-                            _box_dict(wj[X0], wj[Y0], wj[X1], wj[Y1]),
-                        )
+        for i in kw_word_indexes(kw_re):
+            for j in range(max(0, i + lo_off), min(n, i + 5)):
+                m = amatches[j]
+                if m:
+                    wj = words[j]
+                    return _field(
+                        m.group(1).replace(",", ""), wj[CONF],
+                        _box_dict(wj[X0], wj[Y0], wj[X1], wj[Y1]),
+                    )
         return None
 
     # total: forward window, Decimal-parsed, zero skipped by truthiness
     total = None
-    for i, low in enumerate(lowers) if _TOTAL_KW_RE.search(full_lower) else ():
-        if _TOTAL_KW_RE.search(low):
-            for j in range(i, min(i + 5, n)):
-                m = amatches[j]
-                if m:
-                    try:
-                        amount = Decimal(m.group(1).replace(",", ""))
-                    except InvalidOperation:
-                        continue
-                    if amount:
-                        wj = words[j]
-                        total = _field(
-                            str(amount), wj[CONF],
-                            _box_dict(wj[X0], wj[Y0], wj[X1], wj[Y1]),
-                        )
-                        break
-            if total:
-                break
+    for i in kw_word_indexes(_TOTAL_KW_RE):
+        for j in range(i, min(i + 5, n)):
+            m = amatches[j]
+            if m:
+                try:
+                    amount = Decimal(m.group(1).replace(",", ""))
+                except InvalidOperation:
+                    continue
+                if amount:
+                    wj = words[j]
+                    total = _field(
+                        str(amount), wj[CONF],
+                        _box_dict(wj[X0], wj[Y0], wj[X1], wj[Y1]),
+                    )
+                    break
+        if total:
+            break
 
     full_text = " ".join(texts)
     date = None
@@ -474,7 +559,7 @@ def extract_fields_fast(words):
         "tax_amount": windowed(_TAX_KW_RE, -2),
         "currency": currency,
         "merchant_address": None,
-        "line_items": extract_line_items(words),
+        "line_items": _line_items_fast(words),
     }
 
 
