@@ -55,9 +55,11 @@ def _to_tuples(words) -> list[tuple]:
     ]
 
 
-def _extract_one_from_tuples(tuples: list[tuple]) -> dict:
+def _extract_one_from_tuples(
+    tuples: list[tuple], extractor=None
+) -> dict:
     try:
-        fields = ref.extract_fields_fast(tuples)
+        fields = (extractor or ref.extract_fields_fast)(tuples)
         return {
             "extracted_text": ref.raw_text(tuples),
             **fields,
@@ -98,9 +100,9 @@ _OUT_SPARK_SCHEMA = _StructType(
 _PA_OUT = to_arrow_schema(_OUT_SPARK_SCHEMA)
 
 
-def fused_extract_kernel(batches):
-    """mapInArrow kernel: (url, html, text) → full result rows in ONE Python
-    pass with direct Arrow assembly.
+def _make_fused_kernel(extractor=None):
+    """Build the mapInArrow kernel: (url, html, text) → full result rows in
+    ONE Python pass with direct Arrow assembly.
 
     This is the pipeline's hot path. Fusing stage 1 (HTML parse) and stage 2
     (field extraction) into a single kernel eliminates the Arrow round-trip
@@ -108,36 +110,52 @@ def fused_extract_kernel(batches):
     directly (instead of pandas DataFrames) removes the object-column
     conversion on top. The modular two-stage path (parse_words_udf →
     extract_fields_udf) remains for callers that need the words themselves.
+
+    ``extractor`` defaults to the authoritative fast path; pass
+    reference_semantics.extract_fields_entry_c for entry-C compatibility.
     """
     from .html_parse import html_tuples, text_tuples
 
-    for rb in batches:
-        names = rb.schema.names
-        urls = rb.column(names.index("url")).to_pylist()
-        htmls = rb.column(names.index("html")).to_pylist()
-        texts = rb.column(names.index("text")).to_pylist()
-        rows = []
-        for url, html, text in zip(urls, htmls, texts):
-            if html is not None:
-                tuples = html_tuples(html)
-            elif text is not None:
-                tuples = text_tuples(text)
-            else:
-                tuples = []
-            row = _extract_one_from_tuples(tuples)
-            row["url"] = url
-            rows.append(row)
-        arrays = [
-            pa.array([r[f.name] for r in rows], type=f.type) for f in _PA_OUT
-        ]
-        yield pa.RecordBatch.from_arrays(arrays, schema=_PA_OUT)
+    def kernel(batches):
+        for rb in batches:
+            names = rb.schema.names
+            urls = rb.column(names.index("url")).to_pylist()
+            htmls = rb.column(names.index("html")).to_pylist()
+            texts = rb.column(names.index("text")).to_pylist()
+            rows = []
+            for url, html, text in zip(urls, htmls, texts):
+                if html is not None:
+                    tuples = html_tuples(html)
+                elif text is not None:
+                    tuples = text_tuples(text)
+                else:
+                    tuples = []
+                row = _extract_one_from_tuples(tuples, extractor)
+                row["url"] = url
+                rows.append(row)
+            arrays = [
+                pa.array([r[f.name] for r in rows], type=f.type) for f in _PA_OUT
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=_PA_OUT)
+
+    return kernel
 
 
-def fused_extract(df: DataFrame) -> DataFrame:
+fused_extract_kernel = _make_fused_kernel()
+
+
+def fused_extract(df: DataFrame, entry_c: bool = False) -> DataFrame:
     """pages(url, html, text, ...) → (url, extracted_text, fields..., status,
-    error) via the fused single-pass kernel."""
+    error) via the fused single-pass kernel. entry_c=True swaps in the
+    entry-C compatibility extractor (tax-box y0 quirk + extended currency
+    set, SURVEY §8.4-8.5) — the default stays on the authoritative path."""
+    kernel = (
+        _make_fused_kernel(ref.extract_fields_entry_c)
+        if entry_c
+        else fused_extract_kernel
+    )
     return df.select("url", "html", "text").mapInArrow(
-        fused_extract_kernel, schema=_OUT_SPARK_SCHEMA
+        kernel, schema=_OUT_SPARK_SCHEMA
     )
 
 

@@ -214,6 +214,77 @@ def extract_date(words):
     return None
 
 
+# --- entry-C compatibility (cli/commands.py variants, SURVEY §8.3-8.5) ----
+#
+# The reference's CLI entry point diverges from the authoritative
+# receipt_processor path in three documented ways. The engine's default
+# output stays on the authoritative path; these flag-gated twins make it
+# golden-compatible with BOTH reference entry points.
+
+
+def extract_tax_entry_c(words):
+    """Entry-C tax window (cli/commands.py:166-189): identical scan to
+    extract_tax EXCEPT the returned box's y0 comes from the KEYWORD word,
+    not the matched amount word — the reference's inconsistent-box quirk
+    (`"y0": w['box'][1]` while x0/x1/y1 use words[j]), reproduced exactly."""
+    for i, w in enumerate(words):
+        low = w[TEXT].lower()
+        if any(k in low for k in TAX_KEYWORDS):
+            for j in range(max(0, i - 2), min(len(words), i + 5)):
+                m = AMOUNT_RE.search(words[j][TEXT])
+                if m:
+                    wj = words[j]
+                    return _field(
+                        m.group(1).replace(",", ""), wj[CONF],
+                        _box_dict(wj[X0], w[Y0], wj[X1], wj[Y1]),
+                    )
+    return None
+
+
+def detect_currency_entry_c(words):
+    """Entry-C currency detection (cli/commands.py:192-209): the extended
+    set — JPY/CNY at confidence 0.8, CAD and AUD at 0.9 — after the
+    authoritative USD/EUR/GBP cascade."""
+    full = raw_text(words)
+    if "$" in full or "USD" in full:
+        return _field("USD", 0.9, None)
+    if "€" in full or "EUR" in full:
+        return _field("EUR", 0.9, None)
+    if "£" in full or "GBP" in full:
+        return _field("GBP", 0.9, None)
+    if "¥" in full or "JPY" in full or "CNY" in full:
+        return _field("JPY/CNY", 0.8, None)
+    if "CAD" in full:
+        return _field("CAD", 0.9, None)
+    if "AUD" in full:
+        return _field("AUD", 0.9, None)
+    return None
+
+
+def normalize_words_entry_c(words, width, height, current_dpi, target_dpi=300,
+                            scale=NORM_SCALE):
+    """Entry-C normalization (cli/commands.py:398-407 + SURVEY §8.3): boxes
+    are normalized against the RESAMPLED image dimensions (the exact int-
+    truncation math of image_preprocessor.resampleToDpi), not the original
+    ones — the OCR ran on the resampled image, so entry C scales by the
+    dims it measured."""
+    from .operators.imageprep import calculate_resampled_dimensions
+
+    rw, rh = calculate_resampled_dimensions(width, height, current_dpi, target_dpi)
+    return normalize_words(words, rw, rh, scale)
+
+
+def extract_fields_entry_c(words):
+    """Entry-C field extraction: the authoritative extractors with the two
+    entry-C heuristic divergences swapped in (tax-box y0 quirk, extended
+    currency set). Line items and vendor/total/subtotal/date are shared —
+    the entry points only diverge where documented."""
+    fields = extract_fields(words)
+    fields["tax_amount"] = extract_tax_entry_c(words)
+    fields["currency"] = detect_currency_entry_c(words)
+    return fields
+
+
 DATE_ISO_FORMATS = (
     "%m/%d/%Y", "%d/%m/%Y", "%Y-%m-%d", "%m-%d-%Y", "%B %d, %Y", "%b %d, %Y",
 )
