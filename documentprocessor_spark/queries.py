@@ -1216,6 +1216,84 @@ _ORACLE_COSINE = """
     from ranked where rank <= 5
 """
 
+def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized (numpy-GEMM mapInPandas) exact top-k — certified
+    against the SAME oracle as the HOF path: per-batch partial top-k on the
+    rounded cosine, final window over the candidate union, results
+    identical to cosine_topk by construction (also test-pinned)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    return similarity.cosine_topk_vectorized(emb, queries, k=5)
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-bucketed ANN top-k (similarity.lsh_bucketed_topk): candidates
+    share the query's sign-random-projection bucket; exact cosine + window
+    inside the bucket. The md5-parity hyperplanes are reproduced in the
+    oracle as literal arrays, so the DuckDB twin computes the identical
+    bucket ids and therefore the identical (approximate) result set."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    return similarity.lsh_bucketed_topk(emb, queries, dim=64, k=5)
+
+
+def _lsh_topk_oracle(dim: int = 64, bits: int = 8, k: int = 5) -> str:
+    rows = ", ".join(
+        "({b}, {v}, [{s}])".format(
+            b=b, v=2 ** b,
+            s=", ".join(f"{x:.1f}" for x in similarity._hyperplane(b, dim)),
+        )
+        for b in range(bits)
+    )
+    return f"""
+    with planes as (select * from (values {rows}) as t(bit, bit_val, s)),
+    e as (select vec_id, cast(embedding as double[]) as v from embeddings),
+    comp as (
+        select vec_id, bit, bit_val, sum(v[i + 1] * s[i + 1]) as dot
+        from e, planes, lateral unnest(range(len(v))) as u(i)
+        group by vec_id, bit, bit_val
+    ),
+    buck as (
+        select vec_id, sum(case when dot > 0 then bit_val else 0 end) as bucket
+        from comp group by vec_id
+    ),
+    eb as (select e.vec_id, v, bucket from e join buck using (vec_id)),
+    q as (select vec_id as qid, v as qv, bucket from eb where vec_id < 3),
+    cand as (
+        select qid, c.vec_id as cid, qv, c.v as cv
+        from q join eb c using (bucket)
+        where c.vec_id != qid
+    ),
+    expanded as (
+        select qid, cid, qv[i + 1] as x, cv[i + 1] as y
+        from cand, lateral unnest(range(len(qv))) as u(i)
+    ),
+    agg as (
+        select qid, cid, sum(x * y) as dot,
+            sqrt(sum(x * x)) as nq, sqrt(sum(y * y)) as nc
+        from expanded group by qid, cid
+    ),
+    ranked as (
+        select qid as query_id, cid as vec_id,
+            round(dot / (nq * nc), 6) as cosine,
+            row_number() over (
+                partition by qid
+                order by round(dot / (nq * nc), 6) desc, cid asc
+            ) as rank
+        from agg
+    )
+    select query_id, vec_id, cosine, cast(rank as int) as rank
+    from ranked where rank <= {k}
+"""
+
+
+_ORACLE_LSH_TOPK = _lsh_topk_oracle()
+
+
 def q_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/urlnorm.py) over urls synthesized
     deterministically from doc ids: scheme/host lowering, default-port
@@ -1745,6 +1823,8 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_counts": q_lang_counts,
     "similarity_cosine_topk": q_cosine_topk,
+    "cosine_topk_blas": q_cosine_topk_blas,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
     "url_canonicalization": q_url_canonicalization,
     "embedding_near_dup": q_embedding_near_dup,
     "minhash_band_pairs": q_minhash_band_pairs,
@@ -1783,6 +1863,8 @@ ORACLES = {
     "text_stats": _ORACLE_TEXT_STATS,
     "lang_id_counts": _ORACLE_LANG,
     "similarity_cosine_topk": _ORACLE_COSINE,
+    "cosine_topk_blas": _ORACLE_COSINE,
+    "lsh_cosine_topk": _ORACLE_LSH_TOPK,
     "url_canonicalization": _ORACLE_URLNORM,
     "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
     "minhash_band_pairs": _ORACLE_BAND_PAIRS,
