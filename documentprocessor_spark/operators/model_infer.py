@@ -77,10 +77,68 @@ def fake_token_classifier(tokens: list[str], doc_key: str) -> tuple[list[int], l
     return ids, confs
 
 
+# --- M9: lazy per-process model load + device resolve ----------------------
+# receipt_processor.py:50-118 + utils.py:31-53: model singletons are created
+# on FIRST use inside the process that runs inference (in Spark terms: one
+# load per executor Python worker, amortized over every Arrow batch that
+# worker handles), and device "auto" resolves to cuda when available, else
+# cpu. The forward pass itself is the deterministic stub (no torch in this
+# sandbox); the loading/caching machinery is real and test-pinned.
+
+ALLOWED_MODELS = ("stub-token-classifier",)
+_MODEL_REGISTRY: dict[str, "_StubTokenClassifier"] = {}
+
+
+def resolve_device(requested: str = "auto") -> str:
+    """'auto' → cuda if torch reports one, else cpu (utils.py:31-53)."""
+    if requested != "auto":
+        return requested
+    try:
+        import torch  # absent in this sandbox → cpu
+
+        return "cuda" if torch.cuda.is_available() else "cpu"
+    except ImportError:
+        return "cpu"
+
+
+class _StubTokenClassifier:
+    """Deterministic M1 model object: the load is real (constructed once per
+    process by get_model), the forward pass is the md5 stub."""
+
+    def __init__(self, device: str):
+        self.device = device
+        self.n_predict_calls = 0
+
+    def predict(self, doc_keys, token_lists):
+        self.n_predict_calls += 1
+        return [
+            fake_token_classifier(toks, key)
+            for key, toks in zip(doc_keys, token_lists)
+        ]
+
+
+def get_model(name: str = "stub-token-classifier",
+              device: str = "auto") -> _StubTokenClassifier:
+    """M9 lazy singleton: the first call in a process constructs the model,
+    every later call returns the SAME object; unknown names raise the
+    reference's allow-list ValueError shape (M8, commands.py:476-494)."""
+    if name not in ALLOWED_MODELS:
+        raise ValueError(
+            f"unsupported model '{name}'; allowed: {list(ALLOWED_MODELS)}"
+        )
+    model = _MODEL_REGISTRY.get(name)
+    if model is None:
+        model = _MODEL_REGISTRY[name] = _StubTokenClassifier(
+            resolve_device(device)
+        )
+    return model
+
+
 def _predict_batch(doc_keys, token_lists):
-    """The model seam: replace with a real batched forward pass (per-executor
-    model singleton, torch.no_grad, padded batch) in deployment."""
-    return [fake_token_classifier(toks, key) for key, toks in zip(doc_keys, token_lists)]
+    """The model seam: routes through the per-process lazy singleton; swap
+    _StubTokenClassifier for a real batched forward pass (torch.no_grad,
+    padded batch) in deployment."""
+    return get_model().predict(doc_keys, token_lists)
 
 
 @pandas_udf(PREDICTION)

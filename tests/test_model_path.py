@@ -194,3 +194,29 @@ def test_full_model_pipeline_over_html(spark):
                 assert got[url][f]["confidence"] == pytest.approx(
                     expected["confidence"]
                 ), (url, f)
+
+
+def test_m9_lazy_model_singleton():
+    """M9: the model is constructed once per process; later calls return the
+    SAME object, and the forward-pass seam routes through it."""
+    from documentprocessor_spark.operators import model_infer as mi
+
+    mi._MODEL_REGISTRY.clear()
+    m1 = mi.get_model()
+    m2 = mi.get_model()
+    assert m1 is m2
+    assert m1.device == "cpu"  # no torch in this sandbox -> auto resolves cpu
+    before = m1.n_predict_calls
+    out = mi._predict_batch(["u://1"], [["total", "$5.00"]])
+    assert mi.get_model() is m1  # the seam used the singleton
+    assert m1.n_predict_calls == before + 1
+    assert len(out) == 1 and len(out[0][0]) == 2
+
+
+def test_m9_device_resolve_and_allow_list():
+    from documentprocessor_spark.operators import model_infer as mi
+
+    assert mi.resolve_device("auto") == "cpu"
+    assert mi.resolve_device("cuda") == "cuda"  # explicit passes through
+    with pytest.raises(ValueError, match="unsupported model"):
+        mi.get_model("llava-13b")
