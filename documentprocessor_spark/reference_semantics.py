@@ -29,7 +29,9 @@ The authoritative behaviour is the path the reference's own unit tests pin
 
 Known reference divergences between entry points (SURVEY.md §8) are resolved
 in favour of this path; the ``commands.py`` variants (wider currency set,
-tax-box y0 quirk) are NOT reproduced.
+tax-box y0 quirk, resampled-dims normalization) are reproduced ONLY as the
+flag-gated entry-C twins (``extract_tax_entry_c`` etc.) and never reach the
+default output.
 
 Words are represented as plain tuples ``(text, x0, y0, x1, y1, confidence)``
 in OCR order — flat and Arrow-friendly, unlike the reference's dict rows.
@@ -38,7 +40,9 @@ in OCR order — flat and Arrow-friendly, unlike the reference's dict rows.
 from __future__ import annotations
 
 import re
+import heapq
 from bisect import bisect_right
+from operator import itemgetter
 from datetime import datetime
 from decimal import Decimal, InvalidOperation
 
@@ -131,7 +135,9 @@ def extract_vendor(words):
     envelope box. field_extractor.py:88-134."""
     if not words:
         return None
-    top = sorted(words, key=lambda w: w[Y0])[:VENDOR_TOP_K]
+    # nsmallest is documented equivalent to sorted(key=key)[:n] including
+    # stability — same top-3, O(n) instead of a full sort
+    top = heapq.nsmallest(VENDOR_TOP_K, words, key=itemgetter(Y0))
     return _field(
         " ".join(w[TEXT] for w in top),
         sum(w[CONF] for w in top) / len(top),
@@ -345,7 +351,10 @@ def group_lines(words, y_threshold=LINE_Y_THRESHOLD):
     """
     if not words:
         return []
-    ordered = sorted(words, key=lambda w: (w[Y0], w[X0]))
+    # itemgetter keys are C-level; identical sort keys/stability to the
+    # lambda forms
+    ordered = sorted(words, key=itemgetter(Y0, X0))
+    by_x0 = itemgetter(X0)
     lines = []
     current = [ordered[0]]
     anchor_y = ordered[0][Y0]
@@ -353,10 +362,10 @@ def group_lines(words, y_threshold=LINE_Y_THRESHOLD):
         if abs(w[Y0] - anchor_y) <= y_threshold:
             current.append(w)
         else:
-            lines.append(sorted(current, key=lambda x: x[X0]))
+            lines.append(sorted(current, key=by_x0))
             current = [w]
             anchor_y = w[Y0]
-    lines.append(sorted(current, key=lambda x: x[X0]))
+    lines.append(sorted(current, key=by_x0))
     return lines
 
 
@@ -448,7 +457,21 @@ def _line_items_fast(words):
         quantity = None
         unit_price = None
         line_total = None
+        # single pass accumulates the envelope box + confidence sum too
+        # (replaces five generator traversals per emitted item)
+        w0 = line[0]
+        bx0, by0, bx1, by1 = w0[X0], w0[Y0], w0[X1], w0[Y1]
+        conf_sum = 0.0
         for w in line:
+            if w[X0] < bx0:
+                bx0 = w[X0]
+            if w[Y0] < by0:
+                by0 = w[Y0]
+            if w[X1] > bx1:
+                bx1 = w[X1]
+            if w[Y1] > by1:
+                by1 = w[Y1]
+            conf_sum += w[CONF]
             text = w[TEXT].strip()
             if isdisjoint(text):
                 desc_parts.append(text)
@@ -481,13 +504,8 @@ def _line_items_fast(words):
                 "quantity": quantity or 1,
                 "unit_price": unit_price,
                 "line_total": line_total,
-                "box": _box_dict(
-                    min(w[X0] for w in line),
-                    min(w[Y0] for w in line),
-                    max(w[X1] for w in line),
-                    max(w[Y1] for w in line),
-                ),
-                "confidence": sum(w[CONF] for w in line) / len(line),
+                "box": _box_dict(bx0, by0, bx1, by1),
+                "confidence": conf_sum / len(line),
             }
         )
     return items
