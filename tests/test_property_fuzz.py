@@ -161,3 +161,45 @@ def to_cord(obj) -> str:
 @given(st.dictionaries(key_name, node, min_size=1, max_size=3))
 def test_token2json_roundtrip(obj):
     assert token2json(to_cord(obj)) == obj
+
+
+# --- WARC parser robustness: arbitrary bytes must never raise or hang ------
+
+warc_fragments = st.lists(
+    st.one_of(
+        st.binary(max_size=40),
+        st.just(b"WARC/1.0\r\n"),
+        st.just(b"WARC-Type: response\r\n"),
+        st.just(b"WARC-Target-URI: http://x/1\r\n"),
+        st.just(b"Content-Length: "),
+        st.just(b"Content-Length: -5\r\n"),
+        st.just(b"\r\n\r\n"),
+        st.just(b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"),
+        st.just(b"Transfer-Encoding: chunked\r\n"),
+        st.just(b"\x1f\x8b"),  # gzip magic
+    ),
+    max_size=12,
+)
+
+
+@given(warc_fragments)
+@settings(max_examples=200, deadline=None)
+def test_warc_parser_never_raises_on_garbage(fragments):
+    from documentprocessor_spark.sources.warc import parse_warc_records
+
+    raw = b"".join(fragments)
+    # must terminate and never raise — malformed records surface as
+    # {'_skipped': reason} rows, never as task failures
+    out = list(parse_warc_records(raw))
+    for rec in out:
+        assert ("_skipped" in rec) or (
+            rec.get("url") and isinstance(rec.get("html"), (bytes, bytearray))
+        )
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_warc_parser_never_raises_on_random_bytes(raw):
+    from documentprocessor_spark.sources.warc import parse_warc_records
+
+    list(parse_warc_records(raw))
