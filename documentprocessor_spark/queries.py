@@ -1748,6 +1748,201 @@ _ORACLE_SEMI_ANTI = """
 """
 
 # ---------------------------------------------------------------------------
+# S3/S4/M1/H10/H11 driver certification over synthesized inputs
+# ---------------------------------------------------------------------------
+
+
+def q_s3_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 base64 decode (sources/readers.decode_base64_column, codegen'd
+    unbase64): encode documents.text, decode through the operator, emit the
+    decoded length + sha2 so the oracle proves byte identity."""
+    from .sources.readers import decode_base64_column
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.base64(F.col("text").cast("binary")).alias("b64")
+    )
+    dec = decode_base64_column(docs, "b64", out="decoded")
+    return dec.select(
+        "doc_id",
+        F.length("decoded").alias("n_bytes"),
+        F.sha2(F.col("decoded"), 256).alias("content_sha"),
+    )
+
+
+_ORACLE_S3 = """
+    select doc_id,
+        octet_length(from_base64(to_base64(encode(text)))) as n_bytes,
+        sha256(decode(from_base64(to_base64(encode(text))))) as content_sha
+    from documents
+"""
+
+
+def q_s4_multipage_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 multi-page union (operators/extract.words_long_to_arrays): long
+    word rows spread across 3 interleaved pseudo-pages must reassemble in
+    page-major reading order (the reference's all_words.extend loop,
+    receipt_processor.py:156-196)."""
+    from .operators.extract import words_long_to_arrays
+
+    w = _doc_words(spark, sf_dir)
+    long_rows = w.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("pos") % 3).alias("page_number"),
+        (F.col("pos") / 3).cast("int").alias("word_pos"),
+        F.col("tok").alias("text"),
+        "x0", "y0", "x1", "y1",
+        F.col("conf").alias("confidence"),
+    )
+    arrays = words_long_to_arrays(long_rows)
+    return arrays.select(
+        "url",
+        F.array_join(
+            F.transform(F.col("words"), lambda s: s["text"]), " "
+        ).alias("reading_order"),
+    )
+
+
+_ORACLE_S4 = _SQL_WORDS + """
+    select 'doc://' || doc_id as url,
+        string_agg(tok, ' ' order by pos % 3, pos // 3) as reading_order
+    from words group by doc_id
+"""
+
+
+def q_m1_token_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 batched token classification through the REAL pandas UDF
+    (model_infer.token_classifier_udf → the per-process lazy singleton →
+    the deterministic md5 stub): per-token label id and confidence,
+    reproduced exactly in the oracle from the same md5 arithmetic."""
+    from .operators.model_infer import token_classifier_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.transform(
+        F.split(F.col("text"), " "), lambda t: F.struct(t.alias("text"))
+    )
+    pred = docs.select(
+        "doc_id",
+        token_classifier_udf(
+            F.col("doc_id").cast("string"), words
+        ).alias("p"),
+    )
+    z = F.arrays_zip(F.col("p.pred_ids"), F.col("p.confidences"))
+    return pred.select(
+        "doc_id", F.posexplode(z).alias("pos", "pc")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("pc.pred_ids").alias("pred_id"),
+        F.col("pc.confidences").alias("conf"),
+    )
+
+
+_ORACLE_M1 = _SQL_WORDS + """
+    select doc_id, pos,
+        ('0x' || substr(md5(doc_id || ':' || pos || ':' || tok), 1, 2))::int
+            % 15 as pred_id,
+        round(0.5 +
+            ('0x' || substr(md5(doc_id || ':' || pos || ':' || tok), 3, 2))::int
+            % 50 / 100.0, 2) as conf
+    from words
+    where pos < 512
+"""
+
+
+def q_h10_h11_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10 totals verification + H11 confidence filter (the REAL
+    plans/pipeline helpers) over synthesized field structs: family 0 has an
+    exact subtotal+tax=total, family 1 is off by 0.05 (fails the 0.02
+    tolerance), family 2 has a null tax (verified=false by presence rule);
+    per-field confidences sweep the 0.5 cutoff."""
+    from .plans.pipeline import confidence_filter, with_quality_columns
+    from .schemas import BOX
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def fld(value, conf):
+        return F.struct(
+            value.alias("value"),
+            conf.alias("confidence"),
+            F.lit(None).cast(BOX).alias("box"),
+        )
+
+    st_cents = (d % 900 + 100) * 100 + (d % 4) * 25
+    tax_cents = (d % 80 + 5) * 100 + 10
+    fam = d % 3
+    tot_cents = st_cents + tax_cents + F.when(fam == 1, F.lit(5)).otherwise(F.lit(0))
+
+    def money(cents):
+        return F.concat(
+            F.floor(cents / 100).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((cents % 100).cast("string"), 2, "0"),
+        )
+
+    conf_of = lambda mult: (d * mult % 100) / 100.0
+    results = docs.select(
+        "doc_id",
+        fld(F.lit("Vendor"), F.lit(0.9)).alias("vendor_name"),
+        fld(F.lit(None).cast("string"), F.lit(None).cast("double")).alias(
+            "merchant_address"
+        ),
+        fld(F.lit("2024-01-01"), conf_of(3)).alias("date"),
+        fld(money(tot_cents), conf_of(13)).alias("total_amount"),
+        fld(money(st_cents), conf_of(7)).alias("subtotal"),
+        fld(
+            F.when(fam == 2, F.lit(None).cast("string")).otherwise(money(tax_cents)),
+            F.when(fam == 2, F.lit(None).cast("double")).otherwise(conf_of(11)),
+        ).alias("tax_amount"),
+        fld(F.lit("USD"), F.lit(0.9)).alias("currency"),
+    )
+    out = confidence_filter(with_quality_columns(results))
+    return out.select(
+        "doc_id",
+        "totals_verified",
+        F.col("subtotal.value").alias("subtotal_kept"),
+        F.col("tax_amount.value").alias("tax_kept"),
+        F.col("total_amount.value").alias("total_kept"),
+        F.col("date.value").alias("date_kept"),
+    )
+
+
+_ORACLE_H10_H11 = """
+    with d as (
+        select doc_id, doc_id % 3 as fam,
+            (doc_id % 900 + 100) * 100 + (doc_id % 4) * 25 as st_cents,
+            (doc_id % 80 + 5) * 100 + 10 as tax_cents
+        from documents
+    ),
+    f as (
+        select doc_id, fam, st_cents, tax_cents,
+            st_cents + tax_cents + case when fam = 1 then 5 else 0 end
+                as tot_cents,
+            (doc_id * 3 % 100) / 100.0 as conf_date,
+            (doc_id * 7 % 100) / 100.0 as conf_st,
+            (doc_id * 11 % 100) / 100.0 as conf_tax,
+            (doc_id * 13 % 100) / 100.0 as conf_tot
+        from d
+    )
+    select doc_id,
+        case when fam = 2 then false
+             when fam = 1 then false
+             else true end as totals_verified,
+        case when conf_st >= 0.5
+             then (st_cents // 100)::varchar || '.' ||
+                  lpad((st_cents % 100)::varchar, 2, '0') end as subtotal_kept,
+        case when fam != 2 and conf_tax >= 0.5
+             then (tax_cents // 100)::varchar || '.' ||
+                  lpad((tax_cents % 100)::varchar, 2, '0') end as tax_kept,
+        case when conf_tot >= 0.5
+             then (tot_cents // 100)::varchar || '.' ||
+                  lpad((tot_cents % 100)::varchar, 2, '0') end as total_kept,
+        case when conf_date >= 0.5 then '2024-01-01' end as date_kept
+    from f
+"""
+
+
+# ---------------------------------------------------------------------------
 # full extraction pipeline (non-SQL-expressible → rows-only driver check)
 # ---------------------------------------------------------------------------
 
@@ -1805,6 +2000,10 @@ _ORACLE_PIPELINE = """
 QUERIES = {
     "o4_normalize_boxes": q_o4_normalize,
     "o6_subword_tokens": q_o6_subword_tokens,
+    "s3_base64_roundtrip": q_s3_base64_roundtrip,
+    "s4_multipage_order": q_s4_multipage_order,
+    "m1_token_classifier": q_m1_token_classifier,
+    "h10_h11_quality": q_h10_h11_quality,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
     "m6_idefics_parse": q_m6_idefics_parse,
@@ -1845,6 +2044,10 @@ QUERIES = {
 ORACLES = {
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,
+    "s3_base64_roundtrip": _ORACLE_S3,
+    "s4_multipage_order": _ORACLE_S4,
+    "m1_token_classifier": _ORACLE_M1,
+    "h10_h11_quality": _ORACLE_H10_H11,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,
     "m6_idefics_parse": _ORACLE_M6,
