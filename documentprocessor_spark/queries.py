@@ -1942,6 +1942,146 @@ _ORACLE_H10_H11 = """
 """
 
 
+def q_h12_model_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12 model-first merge through the REAL kernel
+    (reference_semantics.extract_fields_with_model, receipt_processor.py:
+    362-416 model branch): model entities win; ONLY vendor_name and
+    total_amount back-fill from heuristics when the model missed them.
+    Families by doc_id % 4: 0 full model entities; 1 vendor missing ->
+    heuristic vendor (top-3 by y0); 2 total missing -> heuristic total
+    (keyword window, Decimal truthiness); 3 no predictions at all -> full
+    heuristic path. The oracle reproduces the backfills relationally (the
+    proven H1/H2 shapes over the same injected receipt words)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    w = _receipt_words(spark, sf_dir)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct("pos", "tok", "x0", "y0", "x1", "y1", "conf")
+        )
+    )
+    per_doc = w.groupBy("doc_id").agg(ordered.alias("ws"))
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("vendor_value", StringType()),
+            StructField("vendor_conf", DoubleType()),
+            StructField("total_value", StringType()),
+            StructField("total_conf", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, ws in zip(pdf["doc_id"], pdf["ws"]):
+                words = [
+                    (s["tok"], s["x0"], s["y0"], s["x1"], s["y1"], s["conf"])
+                    for s in ws
+                ]
+                d = int(doc_id)
+                fam = d % 4
+                if fam == 3:
+                    preds = None
+                else:
+                    ents = {
+                        "vendor_name": None, "date": None,
+                        "total_amount": None, "subtotal": None,
+                        "tax_amount": None, "line_items": [],
+                    }
+                    if fam != 1:
+                        ents["vendor_name"] = {
+                            "value": f"Model Vendor {d % 90 + 10}",
+                            "confidence": 0.9, "box": None,
+                        }
+                    if fam != 2:
+                        ents["total_amount"] = {
+                            "value": f"{d % 990 + 10}.00",
+                            "confidence": 0.85, "box": None,
+                        }
+                    preds = {"entities": ents}
+                r = ref_sem.extract_fields_with_model(preds, words)
+                v, t = r["vendor_name"], r["total_amount"]
+                rows.append(
+                    (
+                        d,
+                        v["value"] if v else None,
+                        v["confidence"] if v else None,
+                        t["value"] if t else None,
+                        t["confidence"] if t else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    merged = per_doc.mapInPandas(kernel, out_schema)
+    return merged.select(
+        "doc_id",
+        "vendor_value",
+        F.round("vendor_conf", 6).alias("vendor_conf"),
+        "total_value",
+        F.round("total_conf", 6).alias("total_conf"),
+    )
+
+
+_ORACLE_H12 = _SQL_RWORDS + r"""
+    , hv as (  -- heuristic vendor: top-3 by (y0, pos), H1 shape
+        select doc_id,
+            string_agg(tok, ' ' order by y0 asc, pos asc) as v_value,
+            round(avg(conf), 6) as v_conf
+        from (
+            select *, row_number() over (
+                partition by doc_id order by y0 asc, pos asc
+            ) as rn from rwords
+        ) where rn <= 3
+        group by doc_id
+    ),
+    kw as (
+        select doc_id, pos as kw_pos from rwords
+        where contains(lower(tok), 'total') or contains(lower(tok), 'grand')
+           or contains(lower(tok), 'amount') or contains(lower(tok), 'due')
+           or contains(lower(tok), 'balance')
+    ),
+    cand as (
+        select doc_id, pos as m_pos,
+            replace(regexp_extract(tok,
+                '\$?\s*(\d{1,3}(?:,\d{3})*(?:\.\d{2})?)', 1), ',', '') as amt,
+            conf
+        from rwords
+    ),
+    ht as (  -- heuristic total: keyword -> forward window, zero skipped
+        select doc_id, amt as t_value, round(conf, 6) as t_conf,
+            row_number() over (
+                partition by doc_id order by kw_pos asc, m_pos asc
+            ) as rn
+        from kw join cand using (doc_id)
+        where amt <> '' and try_cast(amt as double) <> 0
+          and m_pos >= kw_pos and m_pos <= kw_pos + 4
+    ),
+    f as (
+        select doc_id, doc_id % 4 as fam,
+            'Model Vendor ' || cast(doc_id % 90 + 10 as varchar) as mv,
+            cast(doc_id % 990 + 10 as varchar) || '.00' as mt
+        from documents
+    )
+    select f.doc_id,
+        case when fam in (0, 2) then mv else hv.v_value end as vendor_value,
+        round(case when fam in (0, 2) then 0.9 else hv.v_conf end, 6)
+            as vendor_conf,
+        case when fam in (0, 1) then mt else ht.t_value end as total_value,
+        round(case when fam in (0, 1) then 0.85 else ht.t_conf end, 6)
+            as total_conf
+    from f
+    left join hv on hv.doc_id = f.doc_id
+    left join (select * from ht where rn = 1) ht on ht.doc_id = f.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # full extraction pipeline (non-SQL-expressible → rows-only driver check)
 # ---------------------------------------------------------------------------
@@ -2004,6 +2144,7 @@ QUERIES = {
     "s4_multipage_order": q_s4_multipage_order,
     "m1_token_classifier": q_m1_token_classifier,
     "h10_h11_quality": q_h10_h11_quality,
+    "h12_model_first_merge": q_h12_model_first_merge,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
     "m6_idefics_parse": q_m6_idefics_parse,
@@ -2048,6 +2189,7 @@ ORACLES = {
     "s4_multipage_order": _ORACLE_S4,
     "m1_token_classifier": _ORACLE_M1,
     "h10_h11_quality": _ORACLE_H10_H11,
+    "h12_model_first_merge": _ORACLE_H12,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,
     "m6_idefics_parse": _ORACLE_M6,
