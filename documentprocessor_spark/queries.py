@@ -1942,6 +1942,68 @@ _ORACLE_H10_H11 = """
 """
 
 
+def q_o1_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 OCR detect+recognize through the REAL Spark operators: pages are
+    rendered from doc_id-deterministic text with the engine's cipher font
+    (mapInPandas), then ocr_pages (the batched OCR pandas UDF: ink-band
+    line segmentation, column-gap word/glyph split, template decode) must
+    recover the text byte-identically with confidence 1.0 on clean glyphs —
+    the roundtrip identity IS the oracle, so the SQL twin just re-derives
+    the rendered text from the same arithmetic."""
+    import pandas as pd
+
+    from .operators.ocr_kernel import ocr_pages, render_page
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                lines = [
+                    f"RECEIPT {d}",
+                    f"Total: ${d % 90 + 10}.{d % 4 * 25:02d}",
+                    f"Items {d % 7 + 1}",
+                ]
+                img, _ = render_page(lines)
+                rows.append((d, img.tobytes(), img.shape[1], img.shape[0]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "width", "height"]
+            )
+
+    media = docs.mapInPandas(
+        render_kernel, "doc_id long, payload binary, width int, height int"
+    )
+    ocr = ocr_pages(media)
+    words = F.col("words")
+    conf_sum = F.aggregate(
+        F.transform(words, lambda w: w["confidence"]),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return ocr.select(
+        "doc_id",
+        F.array_join(F.transform(words, lambda w: w["text"]), " ").alias(
+            "ocr_text"
+        ),
+        F.size(words).alias("n_words"),
+        F.round(conf_sum / F.size(words), 6).alias("avg_conf"),
+    )
+
+
+_ORACLE_O1 = """
+    select doc_id,
+        'RECEIPT ' || doc_id
+            || ' Total: $' || cast(doc_id % 90 + 10 as varchar)
+            || '.' || lpad(cast(doc_id % 4 * 25 as varchar), 2, '0')
+            || ' Items ' || cast(doc_id % 7 + 1 as varchar) as ocr_text,
+        cast(6 as int) as n_words,
+        cast(1.0 as double) as avg_conf
+    from documents
+"""
+
+
 def q_h12_model_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H12 model-first merge through the REAL kernel
     (reference_semantics.extract_fields_with_model, receipt_processor.py:
@@ -2138,6 +2200,7 @@ _ORACLE_PIPELINE = """
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "o4_normalize_boxes": q_o4_normalize,
     "o6_subword_tokens": q_o6_subword_tokens,
     "s3_base64_roundtrip": q_s3_base64_roundtrip,
@@ -2183,6 +2246,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,
     "s3_base64_roundtrip": _ORACLE_S3,
