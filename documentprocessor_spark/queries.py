@@ -2004,6 +2004,79 @@ _ORACLE_O1 = """
 """
 
 
+def q_p_ops_image_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P5/P8/P9 through the REAL numpy kernels (operators/imageprep) over
+    doc_id-synthesized inputs: ITU-R-601 grayscale of a constant RGB patch,
+    threshold at 50%, resampled-dimension int-truncation math, and the
+    safe-DPI backoff (Tesseract max-dim 32767 + Pillow max-pixels 178956970,
+    300→100 step −50, NULL when hopeless). Every output is closed-form
+    arithmetic, reproduced exactly in the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import imageprep as ip
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = d % 9000 + 100
+                h = d % 7000 + 100
+                if d % 5 == 0:
+                    w *= 400  # force guard backoff / hopeless cases
+                dpi = 0.0 if d % 7 == 0 else float(d % 500 + 50)
+                rw, rh = ip.calculate_resampled_dimensions(w, h, dpi, 300)
+                safe = ip.find_safe_dpi(w, h, dpi)
+                r, g, b = d % 256, (d * 3) % 256, (d * 7) % 256
+                patch = np.full((2, 2, 3), (r, g, b), dtype=np.uint8)
+                gray = int(ip.grayscale(patch)[0, 0])
+                thr = int(ip.threshold(np.full((1, 1), d % 256, np.uint8))[0, 0])
+                rows.append((d, rw, rh, safe, gray, thr))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "rw", "rh", "safe_dpi", "gray", "thr"],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, rw long, rh long, safe_dpi int, gray int, thr int",
+    )
+
+
+_ORACLE_P_OPS = """
+    with d as (
+        select doc_id,
+            case when doc_id % 5 = 0 then (doc_id % 9000 + 100) * 400
+                 else doc_id % 9000 + 100 end as w,
+            doc_id % 7000 + 100 as h,
+            case when doc_id % 7 = 0 then 72.0
+                 else cast(doc_id % 500 + 50 as double) end as dpi,
+            doc_id % 256 as r, (doc_id * 3) % 256 as g,
+            (doc_id * 7) % 256 as b
+        from documents
+    ),
+    safe as (
+        select doc_id, max(t) as safe_dpi
+        from d, unnest([300, 250, 200, 150, 100]) as u(t)
+        where floor(w * (t / dpi)) <= 32767
+          and floor(h * (t / dpi)) <= 32767
+          and floor(w * (t / dpi)) * floor(h * (t / dpi)) <= 178956970
+        group by doc_id
+    )
+    select d.doc_id,
+        cast(floor(w * (300 / dpi)) as bigint) as rw,
+        cast(floor(h * (300 / dpi)) as bigint) as rh,
+        cast(safe.safe_dpi as int) as safe_dpi,
+        cast(floor(least(greatest(
+            0.299 * r + 0.587 * g + 0.114 * b + 0.5, 0), 255)) as int) as gray,
+        cast(case when doc_id % 256 > 127.5 then 255 else 0 end as int) as thr
+    from d left join safe using (doc_id)
+"""
+
+
 def q_h12_model_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H12 model-first merge through the REAL kernel
     (reference_semantics.extract_fields_with_model, receipt_processor.py:
@@ -2208,6 +2281,7 @@ QUERIES = {
     "m1_token_classifier": q_m1_token_classifier,
     "h10_h11_quality": q_h10_h11_quality,
     "h12_model_first_merge": q_h12_model_first_merge,
+    "p_ops_image_math": q_p_ops_image_math,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
     "m6_idefics_parse": q_m6_idefics_parse,
@@ -2254,6 +2328,7 @@ ORACLES = {
     "m1_token_classifier": _ORACLE_M1,
     "h10_h11_quality": _ORACLE_H10_H11,
     "h12_model_first_merge": _ORACLE_H12,
+    "p_ops_image_math": _ORACLE_P_OPS,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,
     "m6_idefics_parse": _ORACLE_M6,
