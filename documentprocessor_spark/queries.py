@@ -2077,6 +2077,49 @@ _ORACLE_P_OPS = """
 """
 
 
+def q_streaming_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming certified against the BATCH oracle: the
+    documents table consumed through the file-stream source (availableNow —
+    processes everything then stops deterministically), aggregated with an
+    event-independent groupBy into a memory sink. Streaming and batch must
+    produce identical results on identical input (the stream==batch
+    invariant tests/test_streaming.py pins for extraction; this entry pins
+    it for aggregation at the driver gate)."""
+    import os
+    import re as _re2
+    import tempfile
+
+    # the file-stream source requires a DIRECTORY; expose the single
+    # testdata file through a per-call temp dir of symlinks
+    stream_dir = tempfile.mkdtemp(prefix="dp_stream_src_")
+    os.symlink(
+        f"{sf_dir}/documents.parquet", f"{stream_dir}/documents.parquet"
+    )
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(docs_schema).parquet(stream_dir)
+    agg = stream.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    qname = "stream_lang_" + _re2.sub(r"\W", "_", sf_dir)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+_ORACLE_STREAMING = """
+    select lang, count(*) as n_docs,
+        sum(len(string_split(text, ' '))) as n_tokens
+    from documents group by lang
+"""
+
+
 def q_h12_model_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H12 model-first merge through the REAL kernel
     (reference_semantics.extract_fields_with_model, receipt_processor.py:
@@ -2282,6 +2325,7 @@ QUERIES = {
     "h10_h11_quality": q_h10_h11_quality,
     "h12_model_first_merge": q_h12_model_first_merge,
     "p_ops_image_math": q_p_ops_image_math,
+    "streaming_lang_stats": q_streaming_lang_stats,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
     "m6_idefics_parse": q_m6_idefics_parse,
@@ -2329,6 +2373,7 @@ ORACLES = {
     "h10_h11_quality": _ORACLE_H10_H11,
     "h12_model_first_merge": _ORACLE_H12,
     "p_ops_image_math": _ORACLE_P_OPS,
+    "streaming_lang_stats": _ORACLE_STREAMING,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,
     "m6_idefics_parse": _ORACLE_M6,
