@@ -2120,6 +2120,128 @@ _ORACLE_STREAMING = """
 """
 
 
+def q_h9_line_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9 per-line item parse through the REAL kernel
+    (reference_semantics.extract_line_items, field_extractor.py:176-281)
+    over layout-shaped synthesized words — 6 lines per doc, 40px apart, so
+    group_lines recovers exactly the constructed lines and the per-line
+    classification becomes oracle-expressible. Line families by
+    (doc_id + li) % 5: 0 qty + two prices (second price shifts the first
+    into unit_price); 1 single price (unit == total); 2 skip keyword ->
+    dropped; 3 no price -> dropped; 4 qty + one price (unit derived by
+    round(total/qty, 2))."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def money(cents: int, dollar: bool = False) -> str:
+        return ("$" if dollar else "") + f"{cents // 100}.{cents % 100:02d}"
+
+    def build_lines(d: int):
+        lines = []
+        for li in range(6):
+            fam = (d + li) % 5
+            if fam == 0:
+                q = li % 3 + 2
+                u = (d * 7 + li * 13) % 2000 + 100
+                toks = [f"Item{d % 100}", f"{q}x", money(u, True), money(q * u)]
+            elif fam == 1:
+                toks = [f"Widget{d % 100}", money((d * 11 + li) % 5000 + 50)]
+            elif fam == 2:
+                toks = ["Total:", money((d * 13 + li) % 4000 + 100)]
+            elif fam == 3:
+                toks = ["plain", "words", "only"]
+            else:
+                q = li % 4 + 1
+                u = (d * 3 + li * 17) % 3000 + 100
+                toks = [f"Gadget{d % 100}", f"x{q}", money(q * u)]
+            lines.append((li, toks))
+        return lines
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                words = []
+                for li, toks in build_lines(d):
+                    y0 = 50 + li * 40
+                    for wi, tok in enumerate(toks):
+                        conf = 0.9 + (li * 7 + wi * 3) % 10 / 100.0
+                        words.append(
+                            (tok, wi * 100, y0, wi * 100 + 80, y0 + 30, conf)
+                        )
+                for it in ref_sem.extract_line_items(words):
+                    b = it["box"]
+                    rows.append(
+                        (
+                            d, it["description"], it["quantity"],
+                            it["unit_price"], it["line_total"],
+                            it["confidence"],
+                            b["x0"], b["y0"], b["x1"], b["y1"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "description", "quantity", "unit_price",
+                    "line_total", "conf", "bx0", "by0", "bx1", "by1",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        kernel,
+        "doc_id long, description string, quantity int, unit_price double, "
+        "line_total double, conf double, bx0 long, by0 long, bx1 long, "
+        "by1 long",
+    )
+    return out.withColumn("conf", F.round("conf", 6))
+
+
+_ORACLE_H9 = """
+    with lines as (
+        select doc_id, u.li, (doc_id + u.li) % 5 as fam
+        from documents, unnest(range(6)) as u(li)
+    ),
+    f as (
+        select doc_id, li, fam,
+            li % 3 + 2 as q0,
+            (doc_id * 7 + li * 13) % 2000 + 100 as u0,
+            (doc_id * 11 + li) % 5000 + 50 as p1,
+            li % 4 + 1 as q4,
+            (doc_id * 3 + li * 17) % 3000 + 100 as u4
+        from lines where fam in (0, 1, 4)
+    ),
+    conf as (  -- mean of 0.9 + ((li*7 + wi*3) % 10)/100 over the line's words
+        select doc_id, li,
+            round(avg(0.9 + (f.li * 7 + w.wi * 3) % 10 / 100.0), 6) as conf
+        from f, unnest(range(case when fam = 0 then 4
+                                  when fam = 1 then 2 else 3 end)) as w(wi)
+        group by doc_id, li
+    )
+    select f.doc_id,
+        case fam when 0 then 'Item' || cast(f.doc_id % 100 as varchar)
+                 when 1 then 'Widget' || cast(f.doc_id % 100 as varchar)
+                 else 'Gadget' || cast(f.doc_id % 100 as varchar)
+        end as description,
+        cast(case fam when 0 then q0 when 1 then 1 else q4 end as int)
+            as quantity,
+        case fam when 0 then u0 / 100.0
+                 when 1 then p1 / 100.0
+                 else round((q4 * u4 / 100.0) / q4, 2) end as unit_price,
+        case fam when 0 then q0 * u0 / 100.0
+                 when 1 then p1 / 100.0
+                 else q4 * u4 / 100.0 end as line_total,
+        conf.conf,
+        cast(0 as bigint) as bx0,
+        cast(50 + f.li * 40 as bigint) as by0,
+        cast(case when fam = 0 then 380 when fam = 1 then 180 else 280 end
+            as bigint) as bx1,
+        cast(80 + f.li * 40 as bigint) as by1
+    from f join conf using (doc_id, li)
+"""
+
+
 def q_h12_model_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H12 model-first merge through the REAL kernel
     (reference_semantics.extract_fields_with_model, receipt_processor.py:
@@ -2322,6 +2444,7 @@ QUERIES = {
     "s3_base64_roundtrip": q_s3_base64_roundtrip,
     "s4_multipage_order": q_s4_multipage_order,
     "m1_token_classifier": q_m1_token_classifier,
+    "h9_line_items": q_h9_line_items,
     "h10_h11_quality": q_h10_h11_quality,
     "h12_model_first_merge": q_h12_model_first_merge,
     "p_ops_image_math": q_p_ops_image_math,
@@ -2370,6 +2493,7 @@ ORACLES = {
     "s3_base64_roundtrip": _ORACLE_S3,
     "s4_multipage_order": _ORACLE_S4,
     "m1_token_classifier": _ORACLE_M1,
+    "h9_line_items": _ORACLE_H9,
     "h10_h11_quality": _ORACLE_H10_H11,
     "h12_model_first_merge": _ORACLE_H12,
     "p_ops_image_math": _ORACLE_P_OPS,
