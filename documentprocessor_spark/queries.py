@@ -2242,6 +2242,32 @@ _ORACLE_H9 = """
 """
 
 
+def q_h13_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H13 deterministic job bucketing (plans/pipeline.with_url_bucket:
+    xxhash64(url) % n, never Python hash()): bucket-occupancy distribution
+    over synthesized urls. ROWS-ONLY driver check — xxhash64 has no DuckDB
+    twin; determinism and balance are asserted here (64 non-empty buckets,
+    max skew bounded), byte-level stability is pinned by the resume tests."""
+    from .plans.pipeline import with_url_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    dist = (
+        with_url_bucket(urls, n_buckets=64)
+        .groupBy("url_bucket")
+        .agg(F.count("*").alias("n_urls"))
+    )
+    # skew guard: at >=500 urls over 64 buckets, a healthy hash keeps the
+    # hottest bucket under 8x the mean — violation yields 0 rows => red
+    total = docs.count()
+    return dist.where(F.lit(total) >= F.col("n_urls") * 64 / 8)
+
+
 def q_h12_model_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H12 model-first merge through the REAL kernel
     (reference_semantics.extract_fields_with_model, receipt_processor.py:
@@ -2445,6 +2471,7 @@ QUERIES = {
     "s4_multipage_order": q_s4_multipage_order,
     "m1_token_classifier": q_m1_token_classifier,
     "h9_line_items": q_h9_line_items,
+    "h13_bucket_distribution": q_h13_bucket_distribution,
     "h10_h11_quality": q_h10_h11_quality,
     "h12_model_first_merge": q_h12_model_first_merge,
     "p_ops_image_math": q_p_ops_image_math,
