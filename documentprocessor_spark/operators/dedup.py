@@ -189,6 +189,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # `rare` is the compact grouped form (one row per surviving shingle);
     # it feeds both the pair explosion and the per-doc sizes, so persist it
     # (at full crawl scale this intermediate checkpoints to storage).
+    # NOTE: the handle is function-local, so the cache is released only by
+    # Spark's LRU or an explicit spark.catalog.clearCache() — long-lived
+    # sessions calling this repeatedly should clearCache() between sweeps
+    # (bench.py does exactly that between query timings).
     rare = (
         pairs.groupBy("sh_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))

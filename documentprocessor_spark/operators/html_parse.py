@@ -95,10 +95,15 @@ class _BlockCollector(HTMLParser):
 import re as _re
 from html import unescape as _unescape
 
-# One-pass tag scanner for the tokenizer: comments, then tags.
+# One-pass tag scanner for the tokenizer: comments, then tags. The
+# attribute body uses POSSESSIVE quantifiers (++/*+, Python 3.11): the
+# branches are first-char-disjoint so backtracking can never change the
+# outcome, and without possessiveness an UNTERMINATED tag makes the
+# (x+)* shape backtrack exponentially (a truncated crawl page would hang
+# an executor task — found by review, pinned by test_property_fuzz).
 _TAG_RE = _re.compile(
     r"<!--.*?-->|<[!?][^>]*>"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:\"[^\"]*\"|'[^']*'|[^>\"']+|\"|')*>",
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:\"[^\"]*\"|'[^']*'|[^>\"']++|\"|')*+>",
     _re.DOTALL,
 )
 _RAWTEXT_CLOSER = {t: f"</{t}" for t in ("script", "style", "title", "noscript", "svg", "template", "textarea")}

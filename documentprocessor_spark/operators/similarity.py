@@ -108,14 +108,17 @@ def cosine_topk_vectorized(corpus: DataFrame, queries: DataFrame,
         ]
     )
 
-    n_queries = queries.limit(QUERY_COLLECT_LIMIT + 1).count()
-    if n_queries > QUERY_COLLECT_LIMIT:
+    # one job: collect at most limit+1 rows — overflow proves the guard
+    # violation without a separate count() execution of the query plan
+    q_rows = (
+        queries.select(id_col, vec_col).limit(QUERY_COLLECT_LIMIT + 1).collect()
+    )
+    if len(q_rows) > QUERY_COLLECT_LIMIT:
         raise ValueError(
             f"cosine_topk_vectorized collects the query set onto the driver; "
             f"got more than {QUERY_COLLECT_LIMIT} query vectors. Use "
             f"lsh_bucketed_topk or chunk the query DataFrame."
         )
-    q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:  # empty query set: same empty result as the exact path
         return (
             corpus.sparkSession.createDataFrame([], out_schema)

@@ -2090,26 +2090,33 @@ def q_streaming_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     # the file-stream source requires a DIRECTORY; expose the single
-    # testdata file through a per-call temp dir of symlinks
+    # testdata file through a per-call temp dir of symlinks (removed after
+    # the stream drains — the memory sink holds the materialized result,
+    # so the returned DataFrame no longer needs the source files)
     stream_dir = tempfile.mkdtemp(prefix="dp_stream_src_")
-    os.symlink(
-        f"{sf_dir}/documents.parquet", f"{stream_dir}/documents.parquet"
-    )
-    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = spark.readStream.schema(docs_schema).parquet(stream_dir)
-    agg = stream.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
-    )
-    qname = "stream_lang_" + _re2.sub(r"\W", "_", sf_dir)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        os.symlink(
+            f"{sf_dir}/documents.parquet", f"{stream_dir}/documents.parquet"
+        )
+        docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = spark.readStream.schema(docs_schema).parquet(stream_dir)
+        agg = stream.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+        qname = "stream_lang_" + _re2.sub(r"\W", "_", sf_dir)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.table(qname)
 
 
@@ -2262,10 +2269,15 @@ def q_h13_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("url_bucket")
         .agg(F.count("*").alias("n_urls"))
     )
-    # skew guard: at >=500 urls over 64 buckets, a healthy hash keeps the
-    # hottest bucket under 8x the mean — violation yields 0 rows => red
+    # skew guard over the WHOLE distribution: if ANY bucket exceeds 8x the
+    # mean, or any of the 64 buckets is empty, the cross-joined guard row
+    # disappears and the ENTIRE result is empty => red rows-only check
+    # (filtering only the violating rows would silently pass)
     total = docs.count()
-    return dist.where(F.lit(total) >= F.col("n_urls") * 64 / 8)
+    guard = dist.agg(
+        F.max("n_urls").alias("mx"), F.count("*").alias("nb")
+    ).where((F.col("mx") * 64 <= F.lit(total * 8)) & (F.col("nb") == 64))
+    return dist.crossJoin(guard).select("url_bucket", "n_urls")
 
 
 def q_h12_model_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

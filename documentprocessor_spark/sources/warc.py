@@ -65,6 +65,11 @@ def _dechunk(body: bytes) -> bytes:
             raise ValueError("bad chunk framing")
         size_token = body[pos:eol].split(b";")[0].strip()
         size = int(size_token, 16)
+        if size < 0:
+            # int(b'-ff', 16) parses the sign; a negative size would drive
+            # pos negative, find() would clamp to 0, and the loop would
+            # never terminate — treat it as the framing error it is
+            raise ValueError("negative chunk size")
         if size == 0:
             break
         start = eol + 2
@@ -74,16 +79,17 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def _parse_http_headers(header_block: bytes) -> dict[str, str]:
-    """HTTP header block → {lowercased name: lowercased value}; the first
-    occurrence of a repeated header wins; the status line is skipped."""
+    """HTTP header block → {lowercased name: lowercased value}; repeated
+    headers are comma-joined (RFC 7230 §3.2.2 equivalence — a second
+    'Transfer-Encoding: chunked' line must not be lost); the status line is
+    skipped."""
     headers: dict[str, str] = {}
     for line in header_block.split(CRLF)[1:]:
         if b":" in line:
             k, _, v = line.partition(b":")
-            headers.setdefault(
-                k.strip().decode("latin-1").lower(),
-                v.strip().decode("latin-1").lower(),
-            )
+            key = k.strip().decode("latin-1").lower()
+            val = v.strip().decode("latin-1").lower()
+            headers[key] = f"{headers[key]}, {val}" if key in headers else val
     return headers
 
 
@@ -104,12 +110,16 @@ def _decode_http_body(block: bytes) -> bytes:
     te = [t.strip() for t in headers.get("transfer-encoding", "").split(",")]
     if "chunked" in te:
         body = _dechunk(body)
+    # encodings are APPLIED in list order, so the outermost wrapper is the
+    # LAST token — unwrap in reverse ('deflate, gzip' = deflated then
+    # gzipped: gunzip first, then inflate)
     ce = [t.strip() for t in headers.get("content-encoding", "").split(",") if t.strip()]
-    enc = ce[0] if ce else ""
-    if enc in ("gzip", "x-gzip"):
-        body = gzip.decompress(body)
-    elif enc == "deflate":
-        body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
+    for enc in reversed(ce):
+        if enc in ("gzip", "x-gzip"):
+            body = gzip.decompress(body)
+        elif enc == "deflate":
+            body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
+        # 'identity' and unknown tokens: pass through unchanged
     return body
 
 

@@ -177,6 +177,7 @@ warc_fragments = st.lists(
         st.just(b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"),
         st.just(b"Transfer-Encoding: chunked\r\n"),
         st.just(b"\x1f\x8b"),  # gzip magic
+        st.just(b"-ffffffff\r\n"),  # negative chunk-size line
     ),
     max_size=12,
 )

@@ -149,3 +149,62 @@ def test_x_gzip_content_encoding_still_decoded():
            + http + b"\r\n\r\n")
     got = [r for r in parse_warc_records(rec) if "_skipped" not in r]
     assert got[0]["html"] == body
+
+
+def test_negative_chunk_size_skips_record_not_hangs():
+    """int(b'-ff', 16) parses the sign — a negative chunk size must surface
+    as a skipped record, never an infinite loop."""
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"-ffffffff\r\nxxxx\r\n0\r\n\r\n")
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/0\r\n"
+           + f"Content-Length: {len(http)}\r\n\r\n".encode()
+           + http + b"\r\n\r\n")
+    out = list(parse_warc_records(rec))
+    assert out == [{"_skipped": "undecodable http body"}]
+
+
+def test_multi_token_content_encoding_unwraps_outermost_first():
+    import gzip as _gzip
+    import zlib as _zlib
+
+    body = b"<p>stacked encodings</p>"
+    deflated = _zlib.compress(body)[2:-4]  # raw deflate
+    stacked = _gzip.compress(deflated)     # deflate, THEN gzip
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate, gzip\r\n\r\n"
+            + stacked)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/0\r\n"
+           + f"Content-Length: {len(http)}\r\n\r\n".encode()
+           + http + b"\r\n\r\n")
+    got = [r for r in parse_warc_records(rec) if "_skipped" not in r]
+    assert got[0]["html"] == body
+
+
+def test_repeated_headers_comma_joined():
+    """RFC 7230: repeated headers are equivalent to a comma-joined list —
+    a second 'Transfer-Encoding: chunked' line must still dechunk."""
+    body = b"<p>chunk me</p>"
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Transfer-Encoding: identity\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+            + hex(len(body))[2:].encode() + b"\r\n" + body + b"\r\n0\r\n\r\n")
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/0\r\n"
+           + f"Content-Length: {len(http)}\r\n\r\n".encode()
+           + http + b"\r\n\r\n")
+    got = [r for r in parse_warc_records(rec) if "_skipped" not in r]
+    assert got[0]["html"] == body
+
+
+def test_unterminated_tag_parses_in_linear_time():
+    """The tag regex must stay linear on truncated/unterminated tags (the
+    possessive-quantifier guard against catastrophic backtracking)."""
+    import time
+
+    from documentprocessor_spark.operators.html_parse import html_tuples
+
+    evil = "<div>hello</div><a " + "ab cd " * 120
+    t0 = time.perf_counter()
+    html_tuples(evil)
+    assert time.perf_counter() - t0 < 1.0
