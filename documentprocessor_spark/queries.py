@@ -2249,6 +2249,90 @@ _ORACLE_H9 = """
 """
 
 
+def q_s5_s6_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 JSON sink + S6 JSON scan through the REAL operators
+    (sources/readers.write_json_results / read_json_results): documents
+    written to newline-delimited JSON and read back must preserve every
+    value — the oracle aggregates the original table. The sink directory is
+    deterministic per sf and overwritten each call (it must outlive the
+    returned lazy DataFrame, so no delete-on-exit)."""
+    import re as _re2
+    import tempfile
+
+    from .sources.readers import read_json_results, write_json_results
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = (
+        tempfile.gettempdir()
+        + "/dp_json_roundtrip_"
+        + _re2.sub(r"\W", "_", sf_dir)
+    )
+    write_json_results(docs.select("doc_id", "text", "lang"), out_dir)
+    back = read_json_results(
+        spark, out_dir, schema="doc_id long, text string, lang string"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max(F.sha2(F.concat_ws("|", "doc_id", "text"), 256)).alias(
+            "max_row_sha"
+        ),
+    )
+
+
+_ORACLE_S5_S6 = """
+    select lang, count(*) as n_docs, sum(length(text)) as total_chars,
+        max(sha256(doc_id || '|' || text)) as max_row_sha
+    from documents group by lang
+"""
+
+
+def q_s1_s2_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 binaryFile scan + S2 pathGlobFilter through the REAL operator
+    (sources/readers.read_binary_dir): per-doc .html files plus decoy .bin
+    files land in a deterministic temp dir; the glob-filtered scan must see
+    ONLY the html files (the rejected ones are never opened) with
+    byte-exact content. Written once per (sf, content-version); the dir
+    outlives the lazy result."""
+    import os
+    import re as _re2
+    import tempfile
+
+    from .sources.readers import read_binary_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scan_dir = (
+        tempfile.gettempdir()
+        + "/dp_binscan_"
+        + _re2.sub(r"\W", "_", sf_dir)
+    )
+    marker = os.path.join(scan_dir, "_WRITTEN")
+    if not os.path.exists(marker):
+        os.makedirs(scan_dir, exist_ok=True)
+        for r in docs.collect():
+            body = f"<p>{r.text}</p>".encode()
+            with open(f"{scan_dir}/doc_{r.doc_id}.html", "wb") as f:
+                f.write(body)
+            with open(f"{scan_dir}/decoy_{r.doc_id}.bin", "wb") as f:
+                f.write(b"never opened")
+        open(marker, "w").close()
+    scanned = read_binary_dir(spark, scan_dir, extensions=("html",))
+    doc_id = F.regexp_extract(F.col("url"), r"doc_(\d+)\.html$", 1).cast("long")
+    return scanned.select(
+        doc_id.alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("html"), 256).alias("content_sha"),
+    )
+
+
+_ORACLE_S1_S2 = """
+    select doc_id,
+        octet_length(encode('<p>' || text || '</p>')) as n_bytes,
+        sha256('<p>' || text || '</p>') as content_sha
+    from documents
+"""
+
+
 def q_h13_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H13 deterministic job bucketing (plans/pipeline.with_url_bucket:
     xxhash64(url) % n, never Python hash()): bucket-occupancy distribution
@@ -2479,8 +2563,10 @@ QUERIES = {
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "o4_normalize_boxes": q_o4_normalize,
     "o6_subword_tokens": q_o6_subword_tokens,
+    "s1_s2_binary_scan": q_s1_s2_binary_scan,
     "s3_base64_roundtrip": q_s3_base64_roundtrip,
     "s4_multipage_order": q_s4_multipage_order,
+    "s5_s6_json_roundtrip": q_s5_s6_json_roundtrip,
     "m1_token_classifier": q_m1_token_classifier,
     "h9_line_items": q_h9_line_items,
     "h13_bucket_distribution": q_h13_bucket_distribution,
@@ -2529,8 +2615,10 @@ ORACLES = {
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,
+    "s1_s2_binary_scan": _ORACLE_S1_S2,
     "s3_base64_roundtrip": _ORACLE_S3,
     "s4_multipage_order": _ORACLE_S4,
+    "s5_s6_json_roundtrip": _ORACLE_S5_S6,
     "m1_token_classifier": _ORACLE_M1,
     "h9_line_items": _ORACLE_H9,
     "h10_h11_quality": _ORACLE_H10_H11,
