@@ -96,11 +96,13 @@ import re as _re
 from html import unescape as _unescape
 
 # One-pass tag scanner for the tokenizer: comments, then tags. The
-# attribute body uses POSSESSIVE quantifiers (++/*+, Python 3.11): the
-# branches are first-char-disjoint so backtracking can never change the
-# outcome, and without possessiveness an UNTERMINATED tag makes the
-# (x+)* shape backtrack exponentially (a truncated crawl page would hang
-# an executor task — found by review, pinned by test_property_fuzz).
+# attribute body uses POSSESSIVE quantifiers (++/*+, Python 3.11):
+# without them an UNTERMINATED tag makes the (x+)* shape backtrack
+# exponentially (a truncated crawl page would hang an executor task).
+# One behavior change vs the backtracking form, deliberate and test-pinned:
+# a truncated tag with an unclosed quoted attribute ('<a x="1>2"' at EOF)
+# no longer half-matches via backtracking — the whole tail stays text,
+# which AGREES with the stdlib _BlockCollector reference.
 _TAG_RE = _re.compile(
     r"<!--.*?-->|<[!?][^>]*>"
     r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:\"[^\"]*\"|'[^']*'|[^>\"']++|\"|')*+>",
@@ -112,10 +114,12 @@ _RAWTEXT_CLOSER = {t: f"</{t}" for t in ("script", "style", "title", "noscript",
 # Pre-pass: excise well-formed raw-text elements (script/style/…) in one
 # C-level sub; the first '</name[^>]*>' terminates, matching the scanner's
 # find('</name') behaviour. Unterminated openers survive and the main loop
-# truncates at them, as before.
+# truncates at them, as before. Possessive attribute body (++/*+) for the
+# same reason as _TAG_RE — the non-possessive shape backtracks
+# exponentially on an unterminated opener full of quoted strings.
 _RAWTEXT_SUB_RE = _re.compile(
     r"<(script|style|noscript|svg|template|textarea|title)(?=[\s/>])"
-    r"(?:\"[^\"]*\"|'[^']*'|[^>])*>.*?</\1[^>]*>",
+    r"(?:\"[^\"]*\"|'[^']*'|[^>\"']++|\"|')*+>.*?</\1[^>]*>",
     _re.DOTALL | _re.IGNORECASE,
 )
 

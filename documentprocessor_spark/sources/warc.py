@@ -112,14 +112,26 @@ def _decode_http_body(block: bytes) -> bytes:
         body = _dechunk(body)
     # encodings are APPLIED in list order, so the outermost wrapper is the
     # LAST token — unwrap in reverse ('deflate, gzip' = deflated then
-    # gzipped: gunzip first, then inflate)
+    # gzipped: gunzip first, then inflate). A common server pathology lists
+    # the same encoding twice while applying it once ('gzip, gzip' from a
+    # duplicated header): if at least one layer decoded, a failing LATER
+    # layer keeps the last-good body instead of dropping the page; a
+    # failure on the FIRST (outermost) layer is a genuinely undecodable
+    # body and propagates (record skipped upstream).
     ce = [t.strip() for t in headers.get("content-encoding", "").split(",") if t.strip()]
+    decoded_layers = 0
     for enc in reversed(ce):
-        if enc in ("gzip", "x-gzip"):
-            body = gzip.decompress(body)
-        elif enc == "deflate":
-            body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
-        # 'identity' and unknown tokens: pass through unchanged
+        try:
+            if enc in ("gzip", "x-gzip"):
+                body = gzip.decompress(body)
+            elif enc == "deflate":
+                body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
+            # 'identity' and unknown tokens: pass through unchanged
+        except Exception:
+            if decoded_layers == 0:
+                raise
+            break
+        decoded_layers += 1
     return body
 
 

@@ -208,3 +208,62 @@ def test_unterminated_tag_parses_in_linear_time():
     t0 = time.perf_counter()
     html_tuples(evil)
     assert time.perf_counter() - t0 < 1.0
+
+
+def test_duplicated_content_encoding_header_keeps_page():
+    """Server pathology: 'Content-Encoding: gzip' sent twice but applied
+    once — the second unwrap fails and the last-good body is kept."""
+    import gzip as _gzip
+
+    body = b"<p>gzipped once, declared twice</p>"
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Encoding: gzip\r\nContent-Encoding: gzip\r\n\r\n"
+            + _gzip.compress(body))
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/0\r\n"
+           + f"Content-Length: {len(http)}\r\n\r\n".encode()
+           + http + b"\r\n\r\n")
+    got = [r for r in parse_warc_records(rec) if "_skipped" not in r]
+    assert got[0]["html"] == body
+
+
+def test_garbage_gzip_body_still_skipped():
+    """A declared-gzip body that is garbage fails on the FIRST layer and
+    the record is skipped (not silently passed through)."""
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            b"this is not gzip at all")
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/0\r\n"
+           + f"Content-Length: {len(http)}\r\n\r\n".encode()
+           + http + b"\r\n\r\n")
+    assert list(parse_warc_records(rec)) == [
+        {"_skipped": "undecodable http body"}
+    ]
+
+
+def test_unterminated_rawtext_opener_linear_time():
+    """_RAWTEXT_SUB_RE must stay linear on an unterminated <script ...>
+    opener stuffed with quoted attribute strings (the second ReDoS shape)."""
+    import time
+
+    from documentprocessor_spark.operators.html_parse import html_tuples
+
+    evil = '<script ' + '"a"' * 120
+    t0 = time.perf_counter()
+    html_tuples(evil)
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_truncated_quoted_tag_matches_parser_reference():
+    """Possessive matching changed truncated-tag behavior: '<a x="1>2"' at
+    EOF stays text — pinned equal to the stdlib _BlockCollector."""
+    from documentprocessor_spark.operators.html_parse import (
+        _fast_blocks,
+        _parser_blocks,
+    )
+
+    e = '<p>before</p><a x="1>2"'
+    assert _fast_blocks(e) == _parser_blocks(e) == [
+        ("before", 0, 6, False),
+        ('<a x="1>2"', 0, 10, False),
+    ]
