@@ -2352,6 +2352,72 @@ _ORACLE_S1_S2 = """
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the REAL operator
+    (multimodal.extract_image_features, mapInPandas over MEDIA-shaped rows):
+    payloads synthesized from doc_id arithmetic tile into HxWx3 via the
+    deterministic stub decoder; mean luma is closed-form, so the oracle
+    re-derives it from the same byte arithmetic. Empty payloads (doc_id %
+    11 == 0) exercise the per-row failure contract (status='failed', never
+    a task failure)."""
+    import pandas as pd
+
+    from .operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def media_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = (
+                    b""
+                    if d % 11 == 0
+                    else bytes([(d * 37 + j) % 256 for j in range(64)])
+                )
+                rows.append(
+                    (
+                        f"media-{d}", payload,
+                        16 + (d % 4) * 8, 16 + (d % 3) * 8,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height"]
+            )
+
+    media = docs.mapInPandas(
+        media_kernel, "media_id string, payload binary, width int, height int"
+    )
+    feats = extract_image_features(media)
+    return feats.select("media_id", "n_bytes", "mean_luma", "status")
+
+
+_ORACLE_MULTIMODAL = """
+    with d as (
+        select doc_id, 16 + (doc_id % 4) * 8 as w, 16 + (doc_id % 3) * 8 as h,
+            doc_id % 11 = 0 as is_empty
+        from documents
+    ),
+    lum as (
+        -- the stub decoder tiles the 64-byte payload into w*h*3 bytes;
+        -- pixel k's channels are tiled bytes 3k/3k+1/3k+2, so the mean
+        -- luma is the weighted byte sum over the tiled index range
+        select doc_id,
+            sum((case i % 3 when 0 then 0.299 when 1 then 0.587
+                 else 0.114 end) * ((doc_id * 37 + (i % 64)) % 256)) as s
+        from d, lateral unnest(range(w * h * 3)) as u(i)
+        where not is_empty
+        group by doc_id
+    )
+    select 'media-' || d.doc_id as media_id,
+        cast(case when is_empty then 0 else 64 end as bigint) as n_bytes,
+        round(s / (w * h), 6) as mean_luma,
+        case when is_empty then 'failed' else 'done' end as status
+    from d left join lum using (doc_id)
+"""
+
+
 def q_h13_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H13 deterministic job bucketing (plans/pipeline.with_url_bucket:
     xxhash64(url) % n, never Python hash()): bucket-occupancy distribution
@@ -2596,6 +2662,7 @@ QUERIES = {
     "h10_h11_quality": q_h10_h11_quality,
     "h12_model_first_merge": q_h12_model_first_merge,
     "p_ops_image_math": q_p_ops_image_math,
+    "multimodal_features": q_multimodal_features,
     "streaming_lang_stats": q_streaming_lang_stats,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
@@ -2647,6 +2714,7 @@ ORACLES = {
     "h10_h11_quality": _ORACLE_H10_H11,
     "h12_model_first_merge": _ORACLE_H12,
     "p_ops_image_math": _ORACLE_P_OPS,
+    "multimodal_features": _ORACLE_MULTIMODAL,
     "streaming_lang_stats": _ORACLE_STREAMING,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,
