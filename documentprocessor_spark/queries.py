@@ -2418,6 +2418,178 @@ _ORACLE_MULTIMODAL = """
 """
 
 
+def q_p_ops_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3/P4/P6 through the REAL chained operator
+    (imageprep.preprocess_media: deskew -> grayscale -> remove-background ->
+    sigmoidal contrast -> denoise, one mapInPandas stage). Inputs are
+    horizontal-band binary images (values {0,255} only), which makes every
+    float stage endpoint-exact: auto-level and the sigmoid LUT fix 0->0 and
+    255->255 regardless of exp() bit patterns, the projection-profile deskew
+    of axis-aligned bands is provably 0 shear, and the 3x3 mean over
+    row-uniform rows is 85*(white(r-1)+white(r)+white(r+1)) exactly (765*s/9
+    is exact integer arithmetic in double). The oracle re-derives mean
+    intensity and ink count per row in closed form. Empty payloads
+    (doc_id % 13 == 0) exercise the per-row failure contract."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.imageprep import preprocess_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def media_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h = 12 + (d % 3) * 4
+                b = 2 + (d % 2)
+                p = d % 4
+                if d % 13 == 0:
+                    payload = b""
+                else:
+                    band = (((np.arange(h) + p) // b) % 2 == 0)
+                    payload = np.repeat(
+                        np.where(band, 255, 0).astype(np.uint8), 3 * 64
+                    ).tobytes()
+                rows.append((f"media-{d}", payload, 64, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height"]
+            )
+
+    media = docs.mapInPandas(
+        media_kernel, "media_id string, payload binary, width int, height int"
+    )
+    feats = preprocess_media(media)
+    return feats.select(
+        "media_id", "width", "height", "safe_dpi",
+        "mean_intensity", "ink_pixels", "skew_deg", "status",
+    )
+
+
+_ORACLE_P_CHAIN = """
+    with d as (
+        select doc_id, 12 + (doc_id % 3) * 4 as h,
+            2 + (doc_id % 2) as b, doc_id % 4 as p,
+            doc_id % 13 = 0 as is_empty
+        from documents
+    ),
+    rowvals as (
+        -- post-denoise intensity of row r is 85 * (white neighbors among
+        -- rows r-1, r, r+1, edge-replicated); white(r) = ((r+p)//b) % 2 = 0
+        select doc_id,
+            85 * (
+              (case when ((greatest(r - 1, 0) + p) // b) % 2 = 0
+                    then 1 else 0 end)
+            + (case when ((r + p) // b) % 2 = 0 then 1 else 0 end)
+            + (case when ((least(r + 1, h - 1) + p) // b) % 2 = 0
+                    then 1 else 0 end)
+            ) as v
+        from d, lateral unnest(range(h)) as u(r)
+        where not is_empty
+    ),
+    agg as (
+        select doc_id,
+            round(sum(v)::double / count(*), 6) as mean_i,
+            64 * sum(case when v < 128 then 1 else 0 end) as ink
+        from rowvals group by doc_id
+    )
+    select 'media-' || d.doc_id as media_id,
+        cast(case when is_empty then null else 64 end as int) as width,
+        cast(case when is_empty then null else h end as int) as height,
+        cast(case when is_empty then null else 300 end as int) as safe_dpi,
+        mean_i as mean_intensity,
+        cast(ink as bigint) as ink_pixels,
+        cast(case when is_empty then null else 0 end as int) as skew_deg,
+        case when is_empty then 'failed' else 'done' end as status
+    from d left join agg using (doc_id)
+"""
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 Common-Crawl-native ingestion through the REAL reader
+    (sources/warc.read_warc: binaryFile scan + mapInPandas WARC parser,
+    per-member gzip, HTTP header/body split — reference scan analog at
+    Ocr/src/cli/commands.py:34-66). Documents are serialized into 8 WARC
+    files (alternating plain / per-record-gzip members) plus one corrupt
+    file and one decoy extension; the scan must recover every page with
+    byte-exact bodies, parsed timestamps, and zero rows from the decoys.
+    Dir is deterministic per (sf, n_docs) and outlives the lazy result."""
+    import glob as _glob
+    import gzip as _gzip
+    import os
+    import re as _re2
+    import shutil as _shutil
+    import tempfile
+    from datetime import datetime as _dt, timedelta as _td
+
+    from .sources.warc import read_warc, write_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    warc_dir = (
+        tempfile.gettempdir()
+        + "/dp_warcscan_"
+        + _re2.sub(r"\W", "_", sf_dir)
+        + f"_n{n_docs}"
+    )
+    marker = os.path.join(warc_dir, "_WRITTEN")
+    valid = (
+        os.path.exists(marker)
+        and len(_glob.glob(f"{warc_dir}/pages_*.warc*")) == 8
+    )
+    if not valid:
+        _shutil.rmtree(warc_dir, ignore_errors=True)
+        os.makedirs(warc_dir, exist_ok=True)
+        base_ts = _dt(2024, 1, 15, 12, 0, 0)
+        groups: dict[int, list] = {g: [] for g in range(8)}
+        for r in docs.collect():
+            d = int(r.doc_id)
+            groups[d % 8].append(
+                (
+                    f"https://site{d % 7}.example.com/page/{d}",
+                    base_ts + _td(seconds=d),
+                    f"<html><body><p>{r.text}</p></body></html>".encode(),
+                )
+            )
+        for g, recs in groups.items():
+            gz = g % 2 == 0
+            data = write_warc(recs, gzip_member=gz)
+            name = f"pages_{g}.warc.gz" if gz else f"pages_{g}.warc"
+            with open(os.path.join(warc_dir, name), "wb") as f:
+                f.write(data)
+        # corrupt member: bad content-length -> skipped, never a task failure
+        with open(os.path.join(warc_dir, "corrupt.warc"), "wb") as f:
+            f.write(b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    b"WARC-Target-URI: https://bad.example.com\r\n"
+                    b"Content-Length: oops\r\n\r\njunk")
+        # decoy extension: glob-filtered at listing, never opened
+        with open(os.path.join(warc_dir, "notes.txt"), "wb") as f:
+            f.write(b"not a warc")
+        open(marker, "w").close()
+    pages = read_warc(spark, warc_dir)
+    return pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.length("html").alias("n_bytes"),
+        F.sha2("html", 256).alias("content_sha"),
+    )
+
+
+_ORACLE_WARC = """
+    select 'https://site' || (doc_id % 7) || '.example.com/page/' || doc_id
+            as url,
+        strftime(timestamp '2024-01-15 12:00:00'
+                 + doc_id * interval 1 second, '%Y-%m-%d %H:%M:%S') as ts_str,
+        cast(octet_length(encode(
+            '<html><body><p>' || text || '</p></body></html>')) as int)
+            as n_bytes,
+        sha256('<html><body><p>' || text || '</p></body></html>')
+            as content_sha
+    from documents
+"""
+
+
 def q_h13_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H13 deterministic job bucketing (plans/pipeline.with_url_bucket:
     xxhash64(url) % n, never Python hash()): bucket-occupancy distribution
@@ -2662,7 +2834,9 @@ QUERIES = {
     "h10_h11_quality": q_h10_h11_quality,
     "h12_model_first_merge": q_h12_model_first_merge,
     "p_ops_image_math": q_p_ops_image_math,
+    "p_ops_filter_chain": q_p_ops_filter_chain,
     "multimodal_features": q_multimodal_features,
+    "warc_ingest": q_warc_ingest,
     "streaming_lang_stats": q_streaming_lang_stats,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
@@ -2714,7 +2888,9 @@ ORACLES = {
     "h10_h11_quality": _ORACLE_H10_H11,
     "h12_model_first_merge": _ORACLE_H12,
     "p_ops_image_math": _ORACLE_P_OPS,
+    "p_ops_filter_chain": _ORACLE_P_CHAIN,
     "multimodal_features": _ORACLE_MULTIMODAL,
+    "warc_ingest": _ORACLE_WARC,
     "streaming_lang_stats": _ORACLE_STREAMING,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,
