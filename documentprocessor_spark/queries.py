@@ -2590,6 +2590,59 @@ _ORACLE_WARC = """
 """
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text+layout extraction through the REAL operators
+    (sources/pdf.write_pdf fixture writer -> extract_pdf_documents content-
+    stream parser; reference PDF path: pdf2image+OCR at cli/utils.py:98-117).
+    Each document is laid out into a multi-page PDF (4 lines/page, so page
+    fan-out is exercised) with FlateDecode compression on even doc_ids; the
+    parser must recover BYTE-IDENTICAL text per url — the north-rule
+    invariant — plus exact word and page counts."""
+    import pandas as pd
+
+    from .sources.pdf import extract_pdf_documents, write_pdf
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth_kernel(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    f"pdf://{int(r.doc_id)}",
+                    write_pdf(
+                        r.text,
+                        words_per_line=8,
+                        lines_per_page=4,
+                        compress=int(r.doc_id) % 2 == 0,
+                    ),
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(rows, columns=["url", "pdf"])
+
+    pdfs = docs.mapInPandas(synth_kernel, "url string, pdf binary")
+    res = extract_pdf_documents(pdfs)
+    doc_id = F.regexp_extract("url", r"^pdf://(\d+)$", 1).cast("long")
+    return res.select(
+        doc_id.alias("doc_id"),
+        F.col("extracted_text"),
+        F.col("n_words"),
+        F.col("n_pages"),
+        F.col("status"),
+    )
+
+
+_ORACLE_PDF = """
+    select doc_id,
+        text as extracted_text,
+        cast(len(string_split(text, ' ')) as int) as n_words,
+        cast(ceil(ceil(len(string_split(text, ' ')) / 8.0) / 4.0) as int)
+            as n_pages,
+        'done' as status
+    from documents
+"""
+
+
 def q_h13_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H13 deterministic job bucketing (plans/pipeline.with_url_bucket:
     xxhash64(url) % n, never Python hash()): bucket-occupancy distribution
@@ -2837,6 +2890,7 @@ QUERIES = {
     "p_ops_filter_chain": q_p_ops_filter_chain,
     "multimodal_features": q_multimodal_features,
     "warc_ingest": q_warc_ingest,
+    "pdf_extract": q_pdf_extract,
     "streaming_lang_stats": q_streaming_lang_stats,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
@@ -2891,6 +2945,7 @@ ORACLES = {
     "p_ops_filter_chain": _ORACLE_P_CHAIN,
     "multimodal_features": _ORACLE_MULTIMODAL,
     "warc_ingest": _ORACLE_WARC,
+    "pdf_extract": _ORACLE_PDF,
     "streaming_lang_stats": _ORACLE_STREAMING,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,

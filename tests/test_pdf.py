@@ -1,0 +1,159 @@
+"""PDF text+layout extraction (sources/pdf.py) — the reference's PDF path
+(pdf2image+OCR at Ocr/src/cli/utils.py:98-117) re-expressed as direct
+text-layer parsing. Pins: writer/parser roundtrip identity (plain AND
+FlateDecode), multipage reading order, every supported text operator,
+string escape decoding, malformed-input tolerance, and the composition
+onto extract_fields."""
+
+import zlib
+
+import pytest
+
+from documentprocessor_spark import reference_semantics as ref
+from documentprocessor_spark.sources.pdf import (
+    PAGE_H,
+    _parse_page_words,
+    parse_pdf_pages,
+    pdf_tuples,
+    write_pdf,
+)
+
+TEXT = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("lines_per_page", [40, 2])
+def test_roundtrip_byte_identity(compress, lines_per_page):
+    pdf = write_pdf(TEXT, lines_per_page=lines_per_page, compress=compress)
+    assert ref.raw_text(pdf_tuples(pdf)) == TEXT
+
+
+def test_multipage_reading_order_and_y_offsets():
+    pdf = write_pdf(TEXT, words_per_line=4, lines_per_page=2)
+    pages = parse_pdf_pages(pdf)
+    assert len(pages) == 3  # 20 words / 4 per line / 2 lines per page
+    tuples = pdf_tuples(pdf)
+    # global y0 strictly non-decreasing across the flattened order
+    ys = [w[2] for w in tuples]
+    assert ys == sorted(ys)
+    # page p's words live in [p*PAGE_H, (p+1)*PAGE_H)
+    for p, page in enumerate(pages):
+        assert all(p * PAGE_H <= w[2] < (p + 1) * PAGE_H for w in page)
+
+
+def test_string_escapes_and_nested_parens():
+    text = "paren(thesis) nested(a(b)c) back\\slash tab\tfree unié"
+    # tab inside a word splits it (whitespace) — compare via split
+    pdf = write_pdf(text)
+    assert ref.raw_text(pdf_tuples(pdf)).split() == text.split()
+
+
+def test_octal_and_named_escapes():
+    words = _parse_page_words(
+        rb"BT /F1 12 Tf 1 0 0 1 72 720 Tm (\110\151 there\055x) Tj ET", 0
+    )
+    assert [w[0] for w in words] == ["Hi", "there-x"]
+
+
+def test_hex_strings():
+    words = _parse_page_words(
+        b"BT /F1 12 Tf 1 0 0 1 72 720 Tm <48 65 78> Tj ET", 0
+    )
+    assert [w[0] for w in words] == ["Hex"]
+
+
+def test_tj_array_with_kerning_advances_x():
+    stream = (
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm"
+        b" [(AB) -500 (CD)] TJ ET"
+    )
+    words = _parse_page_words(stream, 0)
+    assert [w[0] for w in words] == ["AB", "CD"]
+    ab, cd = words
+    # AB spans 100..112 (2 chars * 0.6em * 10); kerning -500/1000*10 = +5
+    assert (ab[1], ab[3]) == (100, 112)
+    assert cd[1] == 117
+
+
+def test_tstar_and_quote_ops_move_lines():
+    stream = (
+        b"BT /F1 12 Tf 14 TL 1 0 0 1 72 720 Tm (one) Tj T* (two) Tj"
+        b" (three) ' ET"
+    )
+    words = _parse_page_words(stream, 0)
+    assert [w[0] for w in words] == ["one", "two", "three"]
+    y_one, y_two, y_three = (w[2] for w in words)
+    assert y_two - y_one == 14 and y_three - y_two == 14
+
+
+def test_td_relative_and_tm_absolute():
+    stream = (
+        b"BT /F1 12 Tf 10 100 Td (a) Tj 5 -20 Td (b) Tj"
+        b" 1 0 0 1 300 50 Tm (c) Tj ET"
+    )
+    a, b, c = _parse_page_words(stream, 0)
+    assert a[1] == 10 and b[1] == 15 and c[1] == 300
+    assert b[2] - a[2] == 20
+    assert c[2] == int(PAGE_H - 50 - 12)
+
+
+def test_malformed_inputs_never_raise():
+    for data in (
+        b"",
+        b"not a pdf",
+        b"%PDF-1.4\nstream\n\xff\xfe\x00garbage endstream",
+        b"%PDF-1.4\nstream\nBT (unterminated",
+        write_pdf(TEXT)[:100],  # truncated mid-object
+        b"<< /Filter /FlateDecode >>\nstream\nnot-zlib\nendstream",
+        b"<< /Filter /LZWDecode >>\nstream\nxx\nendstream",
+    ):
+        assert isinstance(pdf_tuples(data), list)
+
+
+def test_unterminated_string_keeps_parsed_prefix():
+    words = _parse_page_words(b"BT /F1 12 Tf (done) Tj (broken", 0)
+    assert [w[0] for w in words] == ["done"]
+
+
+def test_flate_stream_with_eol_padding_inflates():
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (zip) Tj ET"
+    z = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n4 0 obj << /Length "
+        + str(len(z)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + z
+        + b"\nendstream endobj\n"
+    )
+    assert [w[0] for w in pdf_tuples(pdf)] == ["zip"]
+
+
+def test_compose_onto_extract_fields():
+    pdf = write_pdf("ACME Store Tax $3.40 and then Total $42.50")
+    fields = ref.extract_fields(pdf_tuples(pdf))
+    assert fields["total_amount"]["value"] == "42.50"
+    assert fields["tax_amount"]["value"] == "3.40"
+    assert fields["currency"]["value"] == "USD"
+
+
+def test_extract_pdf_documents_operator(spark):
+    import pandas as pd
+
+    from documentprocessor_spark.sources.pdf import extract_pdf_documents
+
+    rows = [
+        ("u1", write_pdf("one two three", lines_per_page=1, words_per_line=2)),
+        ("u2", write_pdf("zipped words here", compress=True)),
+        ("u3", b"garbage not a pdf"),
+        ("u4", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, pdf binary")
+    got = {r.url: r for r in extract_pdf_documents(df).collect()}
+    assert got["u1"].extracted_text == "one two three"
+    assert got["u1"].n_pages == 2 and got["u1"].n_words == 3
+    assert got["u2"].extracted_text == "zipped words here"
+    assert got["u3"].extracted_text == "" and got["u3"].status == "done"
+    assert got["u4"].extracted_text == "" and got["u4"].n_pages == 0
