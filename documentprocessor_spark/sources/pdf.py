@@ -33,6 +33,7 @@ from __future__ import annotations
 import re
 import zlib
 from collections.abc import Iterator
+from math import isfinite
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -52,24 +53,44 @@ _WS = b"\x00\t\n\x0c\r "
 
 # --------------------------------------------------------------- stream walk
 
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)\b")
+
+
 def _content_streams(data: bytes) -> Iterator[bytes]:
-    """Yield decoded stream payloads in document order. FlateDecode streams
-    inflate via a decompressobj (tolerates the EOL padding before
-    ``endstream``); unknown filters are skipped; a broken stream is skipped,
-    never raised."""
+    """Yield decoded stream payloads in document order.
+
+    Extent: a direct /Length wins (so payloads legally containing the bytes
+    ``endstream`` are not truncated — verified against the following
+    ``endstream`` keyword); indirect /Length (``N 0 R``) or none falls back
+    to the first ``endstream``. The stream dictionary is taken from the
+    enclosing ``obj`` keyword, not the innermost ``<<``, so nested dicts
+    (/DecodeParms) cannot hide /Filter. FlateDecode inflates via a
+    decompressobj (tolerates EOL padding); unknown filters are skipped; a
+    broken stream is skipped, never raised."""
     pos = 0
     n = len(data)
     while pos < n:
         m = _STREAM_START_RE.search(data, pos)
         if not m:
             break
-        end = data.find(b"endstream", m.end())
+        start = m.end()
+        hdr_start = data.rfind(b"obj", pos, m.start())
+        if hdr_start == -1:
+            hdr_start = data.rfind(b"<<", pos, m.start())
+        header = data[max(hdr_start, pos) : m.start()]
+        end = -1
+        lm = _LENGTH_RE.search(header)
+        if lm:
+            cand = start + int(lm.group(1))
+            # trust /Length only if 'endstream' really follows (EOL-padded)
+            if data[cand : cand + 16].lstrip(b"\r\n ").startswith(b"endstream"):
+                end = cand
         if end == -1:
-            break
-        raw = data[m.end() : end]
-        dict_start = data.rfind(b"<<", 0, m.start())
-        header = data[dict_start if dict_start != -1 else m.start() : m.start()]
-        pos = end + len(b"endstream")
+            end = data.find(b"endstream", start)
+            if end == -1:
+                break
+        raw = data[start:end]
+        pos = max(data.find(b"endstream", end), end) + len(b"endstream")
         if b"/Filter" in header:
             if b"FlateDecode" not in header:
                 continue  # unsupported filter: not our dialect, skip
@@ -167,6 +188,10 @@ def _parse_page_words(stream: bytes, page: int) -> list[tuple]:
         nonlocal x
         text = raw.decode("utf-8", errors="replace")
         adv = CHAR_EM * fs
+        # a malformed Tf/Tm (inf/nan) must not corrupt the cursor or
+        # overflow int(): skip the emission, keep the page alive
+        if not (isfinite(adv) and isfinite(x) and isfinite(y)):
+            return
         wstart = x
         token: list[str] = []
         page_off = page * PAGE_H
@@ -313,8 +338,9 @@ def _parse_page_words(stream: bytes, page: int) -> list[tuple]:
                             emit(item)
                         else:  # kerning adjustment: thousandths of an em
                             x -= float(item) / 1000.0 * fs
-        except (TypeError, ValueError):
-            pass  # malformed operand shapes never fail the page
+        except (TypeError, ValueError, OverflowError):
+            pass  # malformed operand shapes (incl. inf/nan font sizes
+            # overflowing int()) never fail the page
         operands = []
     return words
 

@@ -131,6 +131,64 @@ def test_flate_stream_with_eol_padding_inflates():
     assert [w[0] for w in pdf_tuples(pdf)] == ["zip"]
 
 
+def test_payload_containing_endstream_bytes_roundtrips():
+    # /Length must bound the stream extent — naive find(b"endstream")
+    # would truncate this legal payload mid-string
+    text = "alpha endstream beta gamma"
+    for compress in (False, True):
+        pdf = write_pdf(text, compress=compress)
+        assert ref.raw_text(pdf_tuples(pdf)) == text
+
+
+def test_nested_dict_does_not_hide_filter():
+    content = zlib.compress(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (hello world) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Foo 1 >> >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+    )
+    assert [w[0] for w in pdf_tuples(pdf)] == ["hello", "world"]
+
+
+def test_indirect_length_falls_back_to_endstream_scan():
+    pdf = (
+        b"%PDF-1.4\n4 0 obj\n<< /Length 5 0 R >>\nstream\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (indirect) Tj ET"
+        b"\nendstream\nendobj\n"
+    )
+    assert [w[0] for w in pdf_tuples(pdf)] == ["indirect"]
+
+
+def test_overflowing_font_size_keeps_prior_words():
+    # fs=inf overflows int() in emit; the page must keep words parsed
+    # before (and after a sane Tf) instead of raising
+    stream = (
+        b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (kept) Tj "
+        + b"9" * 400 + b" Tf (lost) Tj 10 Tf (alive) Tj ET"
+    )
+    words = _parse_page_words(stream, 0)
+    assert "kept" in [w[0] for w in words]
+    assert "alive" in [w[0] for w in words]
+
+
+def test_read_pdf_dir_scan(spark, tmp_path):
+    from documentprocessor_spark.sources.pdf import (
+        extract_pdf_documents,
+        read_pdf_dir,
+    )
+
+    (tmp_path / "a.pdf").write_bytes(write_pdf("doc a words"))
+    (tmp_path / "b.pdf").write_bytes(write_pdf("doc b", compress=True))
+    (tmp_path / "decoy.txt").write_bytes(b"never opened")
+    got = {
+        r.url.rsplit("/", 1)[-1]: r.extracted_text
+        for r in extract_pdf_documents(
+            read_pdf_dir(spark, str(tmp_path))
+        ).collect()
+    }
+    assert got == {"a.pdf": "doc a words", "b.pdf": "doc b"}
+
+
 def test_compose_onto_extract_fields():
     pdf = write_pdf("ACME Store Tax $3.40 and then Total $42.50")
     fields = ref.extract_fields(pdf_tuples(pdf))
