@@ -2590,6 +2590,157 @@ _ORACLE_WARC = """
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio column plumbing through the REAL operator
+    (multimodal.extract_audio_features): payloads are little-endian int16
+    PCM synthesized from doc_id byte arithmetic, so RMS (integer
+    sum-of-squares, one double division, one sqrt — bit-identical across
+    engines), zero-crossing count, and duration are all closed-form in SQL.
+    Empty payloads (doc_id % 17 == 0) exercise the failure contract."""
+    import pandas as pd
+
+    from .operators.multimodal import extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def media_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 17 == 0:
+                    payload = b""
+                else:
+                    ns = 40 + (d % 29) * 2
+                    payload = bytes(
+                        (d * 31 + j) % 256 for j in range(2 * ns)
+                    )
+                rows.append((f"audio-{d}", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(media_kernel, "media_id string, payload binary")
+    feats = extract_audio_features(media)
+    return feats.select(
+        "media_id", "n_samples", "duration_ms", "rms",
+        "zero_crossings", "status",
+    )
+
+
+_ORACLE_AUDIO = """
+    with d as (
+        select doc_id, 40 + (doc_id % 29) * 2 as ns,
+            doc_id % 17 = 0 as is_empty
+        from documents
+    ),
+    samp as (
+        -- sample i = int16(LE) of payload bytes 2i, 2i+1
+        select doc_id, i,
+            case when u >= 32768 then u - 65536 else u end as s
+        from (
+            select doc_id, i,
+                ((doc_id * 31 + 2 * i) % 256)
+                + 256 * ((doc_id * 31 + 2 * i + 1) % 256) as u
+            from d, lateral unnest(range(ns)) as t(i)
+            where not is_empty
+        )
+    ),
+    lagged as (
+        select doc_id, s,
+            lag(s) over (partition by doc_id order by i) as prev
+        from samp
+    ),
+    agg as (
+        select doc_id,
+            round(sqrt(sum(s * s)::double / count(*)), 6) as rms,
+            sum(case when prev is not null and (prev < 0) <> (s < 0)
+                     then 1 else 0 end) as zc
+        from lagged
+        group by doc_id
+    )
+    select 'audio-' || d.doc_id as media_id,
+        cast(case when is_empty then null else ns end as bigint) as n_samples,
+        cast(case when is_empty then null else ns * 1000 // 16000 end
+             as bigint) as duration_ms,
+        rms,
+        cast(zc as bigint) as zero_crossings,
+        case when is_empty then 'failed' else 'done' end as status
+    from d left join agg using (doc_id)
+"""
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling through the REAL operator
+    (multimodal.sample_video_frames): per-doc fake videos of 2..5 frames
+    (duration metadata at 1 fps), every 2nd frame sampled, per-frame mean
+    luma re-derived in SQL from the tiled byte cycle (the frame axis
+    continues the image stub's arithmetic). Explodes INSIDE the kernel —
+    raw frames never serialize. Empty payloads (doc_id % 19 == 0) exercise
+    the failure contract."""
+    import pandas as pd
+
+    from .operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def media_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = (
+                    b""
+                    if d % 19 == 0
+                    else bytes((d * 29 + j) % 256 for j in range(48))
+                )
+                rows.append(
+                    (f"video-{d}", payload, 8, 4, (2 + d % 4) * 1000)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "payload", "width", "height",
+                         "duration_ms"],
+            )
+
+    media = docs.mapInPandas(
+        media_kernel,
+        "media_id string, payload binary, width int, height int,"
+        " duration_ms long",
+    )
+    frames = sample_video_frames(media, every_n=2)
+    return frames.select("media_id", "frame_idx", "mean_luma", "status")
+
+
+_ORACLE_VIDEO = """
+    with d as (
+        select doc_id, 2 + doc_id % 4 as n_frames,
+            doc_id % 19 = 0 as is_empty
+        from documents
+    ),
+    sampled as (
+        select doc_id, cast(f * 2 as int) as frame_idx
+        from d, lateral unnest(range((n_frames + 1) // 2)) as t(f)
+        where not is_empty
+    ),
+    luma as (
+        -- frame f, byte slot i of 8*4*3=96: tiled payload byte
+        -- (doc_id*29 + (96*f + i) % 48) % 256, luma-weighted by channel
+        select doc_id, frame_idx,
+            round(sum(
+                (case i % 3 when 0 then 0.299 when 1 then 0.587
+                 else 0.114 end)
+                * ((doc_id * 29 + (96 * frame_idx + i) % 48) % 256)
+            ) / 32, 6) as mean_luma
+        from sampled, lateral unnest(range(96)) as u(i)
+        group by doc_id, frame_idx
+    )
+    select 'video-' || d.doc_id as media_id,
+        luma.frame_idx,
+        luma.mean_luma,
+        case when is_empty then 'failed' else 'done' end as status
+    from d left join luma using (doc_id)
+"""
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text+layout extraction through the REAL operators
     (sources/pdf.write_pdf fixture writer -> extract_pdf_documents content-
@@ -2891,6 +3042,8 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "warc_ingest": q_warc_ingest,
     "pdf_extract": q_pdf_extract,
+    "audio_features": q_audio_features,
+    "video_frame_sample": q_video_frame_sample,
     "streaming_lang_stats": q_streaming_lang_stats,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
@@ -2946,6 +3099,8 @@ ORACLES = {
     "multimodal_features": _ORACLE_MULTIMODAL,
     "warc_ingest": _ORACLE_WARC,
     "pdf_extract": _ORACLE_PDF,
+    "audio_features": _ORACLE_AUDIO,
+    "video_frame_sample": _ORACLE_VIDEO,
     "streaming_lang_stats": _ORACLE_STREAMING,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,
