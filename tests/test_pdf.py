@@ -215,3 +215,43 @@ def test_extract_pdf_documents_operator(spark):
     assert got["u2"].extracted_text == "zipped words here"
     assert got["u3"].extracted_text == "" and got["u3"].status == "done"
     assert got["u4"].extracted_text == "" and got["u4"].n_pages == 0
+
+
+# ------------------------------------------------------------ hypothesis fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2000))
+def test_fuzz_arbitrary_bytes_never_raise(data):
+    pages = parse_pdf_pages(data)
+    assert isinstance(pages, list)
+    for page in pages:
+        for w in page:
+            assert isinstance(w[0], str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_fuzz_bytes_inside_pdf_scaffold(chunk):
+    # adversarial content WITHIN stream/dict scaffolding (hits the operator
+    # dispatch, string/array/hex readers, and /Length handling)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Length "
+        + str(len(chunk)).encode()
+        + b" >>\nstream\n" + chunk + b"\nendstream\nendobj\n"
+        b"2 0 obj << /Filter /FlateDecode >>\nstream\n"
+        + chunk + b"\nendstream\nendobj\n"
+    )
+    assert isinstance(pdf_tuples(pdf), list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_fuzz_writer_parser_roundtrip(text):
+    # any text round-trips modulo whitespace normalization (the writer
+    # joins tokens with single spaces; the parser splits on whitespace)
+    pdf = write_pdf(text, words_per_line=5, lines_per_page=3)
+    assert [w[0] for w in pdf_tuples(pdf)] == text.split()
