@@ -113,7 +113,15 @@ def _make_fused_kernel(extractor=None):
 
     ``extractor`` defaults to the authoritative fast path; pass
     reference_semantics.extract_fields_entry_c for entry-C compatibility.
+
+    Content sniffing: a Common-Crawl-style pages table carries PDF
+    responses in the same binary column as HTML; rows whose payload starts
+    with the ``%PDF-`` magic route to the PDF text-layer parser
+    (sources/pdf.py), everything else to the HTML scanner — ONE pipeline
+    extracts both. (No legal HTML document starts with ``%PDF-``, so the
+    HTML byte-identity contract is untouched.)
     """
+    from ..sources.pdf import pdf_tuples
     from .html_parse import html_tuples, text_tuples
 
     def kernel(batches):
@@ -125,7 +133,13 @@ def _make_fused_kernel(extractor=None):
             rows = []
             for url, html, text in zip(urls, htmls, texts):
                 if html is not None:
-                    tuples = html_tuples(html)
+                    if (
+                        isinstance(html, (bytes, bytearray, memoryview))
+                        and bytes(html[:5]) == b"%PDF-"
+                    ):
+                        tuples = pdf_tuples(html)
+                    else:
+                        tuples = html_tuples(html)
                 elif text is not None:
                     tuples = text_tuples(text)
                 else:

@@ -255,3 +255,35 @@ def test_fuzz_writer_parser_roundtrip(text):
     # joins tokens with single spaces; the parser splits on whitespace)
     pdf = write_pdf(text, words_per_line=5, lines_per_page=3)
     assert [w[0] for w in pdf_tuples(pdf)] == text.split()
+
+
+def test_run_job_mixed_html_and_pdf_pages(spark, tmp_path):
+    """ONE production pipeline over a Common-Crawl-style table carrying
+    both HTML and PDF payloads in the same binary column: content sniffing
+    in the fused kernel routes %PDF- rows to the text-layer parser; byte
+    identity holds for both content types."""
+    from documentprocessor_spark.plans.pipeline import run_job
+    from documentprocessor_spark.sources.synthetic import generate_corpus
+
+    rows = []
+    golden = {}
+    for i, d in enumerate(generate_corpus(40)):
+        url, ts, html, text = d[0], d[1], d[2], d[3]
+        if i % 2 == 0:
+            rows.append((url, ts, html, None, None))
+        else:
+            rows.append((url, ts, write_pdf(text, compress=i % 4 == 1),
+                         None, None))
+        golden[url] = text
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary,"
+        " text string, lang string"
+    )
+    out = str(tmp_path / "job")
+    stats = run_job(spark, pages, out)
+    assert stats["rows_total_committed"] == 40
+    res = {
+        r.url: r.extracted_text
+        for r in spark.read.parquet(out + "/results").collect()
+    }
+    assert res == golden
