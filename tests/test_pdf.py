@@ -287,3 +287,37 @@ def test_run_job_mixed_html_and_pdf_pages(spark, tmp_path):
         for r in spark.read.parquet(out + "/results").collect()
     }
     assert res == golden
+
+
+def test_warc_with_pdf_responses_end_to_end(spark, tmp_path):
+    """Full Common-Crawl ingestion: a WARC whose responses are PDFs flows
+    warc scan -> pages -> run_job with byte-identical extracted text."""
+    from datetime import datetime
+
+    from documentprocessor_spark.plans.pipeline import run_job
+    from documentprocessor_spark.sources.warc import read_warc, write_warc
+
+    golden = {
+        "https://a.example.com/r.pdf": "invoice alpha Total $9.99",
+        "https://b.example.com/s.pdf": "receipt beta words here",
+        "https://c.example.com/page.html": None,  # html record mixed in
+    }
+    recs = [
+        ("https://a.example.com/r.pdf", datetime(2024, 1, 15, 12, 0),
+         write_pdf(golden["https://a.example.com/r.pdf"])),
+        ("https://b.example.com/s.pdf", datetime(2024, 1, 15, 12, 1),
+         write_pdf(golden["https://b.example.com/s.pdf"], compress=True)),
+        ("https://c.example.com/page.html", datetime(2024, 1, 15, 12, 2),
+         b"<html><body><p>plain html text</p></body></html>"),
+    ]
+    golden["https://c.example.com/page.html"] = "plain html text"
+    (tmp_path / "mix.warc").write_bytes(write_warc(recs))
+    pages = read_warc(spark, str(tmp_path))
+    out = str(tmp_path / "job")
+    stats = run_job(spark, pages, out)
+    assert stats["rows_total_committed"] == 3
+    res = {
+        r.url: r.extracted_text
+        for r in spark.read.parquet(out + "/results").collect()
+    }
+    assert res == golden
