@@ -55,16 +55,28 @@ IMAGE_FEATURES = StructType(
 )
 
 
+def _tile_bytes(payload: bytes, need: int) -> np.ndarray:
+    """Cycle payload bytes into a flat uint8 array of length ``need`` — the
+    ONE byte-tiling rule every fake decoder (image, video) shares, so the
+    SQL oracles that re-derive it have a single contract to mirror."""
+    if not payload:
+        raise ValueError("empty payload")
+    flat = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-need // len(flat))
+    return np.tile(flat, reps)[:need]
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma over a trailing RGB axis (shared by the image and
+    video feature kernels — and mirrored verbatim by their oracles)."""
+    return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+
+
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake decoder: payload bytes tile into an HxWx3 uint8
     array. Replaces PIL.Image.open (reference: Ocr/src/cli/utils.py:98-117)
     in this codec-free container; byte-identical across runs."""
-    if not payload:
-        raise ValueError("empty payload")
-    flat = np.frombuffer(payload, dtype=np.uint8)
-    need = width * height * 3
-    reps = -(-need // len(flat))
-    return np.tile(flat, reps)[:need].reshape(height, width, 3)
+    return _tile_bytes(payload, width * height * 3).reshape(height, width, 3)
 
 
 def image_feature_kernel(batches: Iterator[pd.DataFrame],
@@ -86,9 +98,7 @@ def image_feature_kernel(batches: Iterator[pd.DataFrame],
                 img = _decode_image_stub(
                     r.payload, int(r.width or 32), int(r.height or 32)
                 )
-                luma = (
-                    0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
-                )
+                luma = _luma(img)
                 hist, _ = np.histogram(luma, bins=8, range=(0, 255))
                 rows.append(
                     {
@@ -222,13 +232,10 @@ def _decode_video_frames_stub(
 ) -> np.ndarray:
     """Deterministic fake video decoder: payload bytes tile into an
     (n_frames, H, W, 3) uint8 array — the frame axis continues the same
-    byte cycle the image stub uses."""
-    if not payload:
-        raise ValueError("empty payload")
-    flat = np.frombuffer(payload, dtype=np.uint8)
-    need = n_frames * width * height * 3
-    reps = -(-need // len(flat))
-    return np.tile(flat, reps)[:need].reshape(n_frames, height, width, 3)
+    byte cycle the image stub uses (one shared ``_tile_bytes`` rule)."""
+    return _tile_bytes(payload, n_frames * width * height * 3).reshape(
+        n_frames, height, width, 3
+    )
 
 
 def video_frame_kernel(
@@ -254,17 +261,16 @@ def video_frame_kernel(
                 w, h = int(r.width or 16), int(r.height or 16)
                 n_frames = max(1, int(r.duration_ms or 0) * fps // 1000)
                 frames = _decode_video_frames_stub(r.payload, w, h, n_frames)
-                luma = (
-                    0.299 * frames[..., 0]
-                    + 0.587 * frames[..., 1]
-                    + 0.114 * frames[..., 2]
-                )
-                for idx in range(0, n_frames, every_n):
+                # luma only over the SAMPLED frames — at sparse every_n
+                # (the 100 TB-pass shape) the skipped frames' float math
+                # would dominate for nothing
+                luma = _luma(frames[::every_n])
+                for pos, idx in enumerate(range(0, n_frames, every_n)):
                     rows.append(
                         {
                             "media_id": r.media_id,
                             "frame_idx": idx,
-                            "mean_luma": round(float(luma[idx].mean()), 6),
+                            "mean_luma": round(float(luma[pos].mean()), 6),
                             "status": "done",
                             "error": None,
                         }

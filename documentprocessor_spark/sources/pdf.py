@@ -54,6 +54,7 @@ _WS = b"\x00\t\n\x0c\r "
 # --------------------------------------------------------------- stream walk
 
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)\b")
+_OBJ_HDR_RE = re.compile(rb"\d+\s+\d+\s+obj\b")
 
 
 def _content_streams(data: bytes) -> Iterator[bytes]:
@@ -74,9 +75,15 @@ def _content_streams(data: bytes) -> Iterator[bytes]:
         if not m:
             break
         start = m.end()
-        hdr_start = data.rfind(b"obj", pos, m.start())
+        # anchor the stream dict on the LAST full object header ("N G obj"),
+        # not a bare 'obj' substring (which a dict string like
+        # '/Subject (an object)' would contain) and not the innermost '<<'
+        # (which a nested /DecodeParms dict would be)
+        hdr_start = -1
+        for hm in _OBJ_HDR_RE.finditer(data, pos, m.start()):
+            hdr_start = hm.start()
         if hdr_start == -1:
-            hdr_start = data.rfind(b"<<", pos, m.start())
+            hdr_start = data.find(b"<<", pos, m.start())
         header = data[max(hdr_start, pos) : m.start()]
         end = -1
         lm = _LENGTH_RE.search(header)

@@ -321,3 +321,30 @@ def test_warc_with_pdf_responses_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(out + "/results").collect()
     }
     assert res == golden
+
+
+def test_dict_string_containing_obj_does_not_break_header():
+    # the header anchor must be the "N G obj" object header, not a bare
+    # 'obj' substring — a /Subject string legally contains one
+    content = zlib.compress(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (anchored) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode /Subject (an object here) >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+    )
+    assert [w[0] for w in pdf_tuples(pdf)] == ["anchored"]
+
+
+def test_length_regex_linear_time():
+    # CLAUDE.md: pin new patterns with a linear-time test. Adversarial
+    # headers full of near-miss "/Length N N" shapes must scan in linear
+    # time (the lookahead is locally bounded).
+    import time
+
+    from documentprocessor_spark.sources.pdf import _LENGTH_RE, _OBJ_HDR_RE
+
+    evil = b"/Length " + b"1 " * 100_000 + b"0 R"
+    t0 = time.perf_counter()
+    _LENGTH_RE.search(evil)
+    _OBJ_HDR_RE.search(b"1 " * 100_000 + b"x")
+    assert time.perf_counter() - t0 < 1.0
