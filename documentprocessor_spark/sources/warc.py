@@ -37,21 +37,41 @@ _HDR_END = CRLF + CRLF
 _ROW_CHUNK = 2048
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def _split_gzip_members(data: bytes) -> bytes:
     """Decompress multi-member gzip (CC concatenates one member per record),
     keeping every successfully-decoded member even when a later member is
-    corrupt (gzip.GzipFile.read would discard everything on first error)."""
+    corrupt (gzip.GzipFile.read would discard everything on first error).
+
+    Feeds geometrically-growing memoryview chunks (8 KB → 1 MB) instead of
+    the whole remaining buffer: the naive ``d.decompress(rest)`` /
+    ``rest = d.unused_data`` loop copies O(file size) bytes PER MEMBER —
+    quadratic on a real Common-Crawl WARC (~50k members/GB). Growing from
+    small keeps the ``unused_data`` tail copy proportional to the MEMBER
+    size (a typical CC member consumes one 8 KB chunk), so total work is
+    linear in the file for any member-size mix."""
     out = []
-    rest = data
-    while rest[:2] == b"\x1f\x8b":
+    mv = memoryview(data)
+    pos = 0
+    n = len(data)
+    while pos + 2 <= n and data[pos] == 0x1F and data[pos + 1] == 0x8B:
         d = zlib.decompressobj(wbits=31)
+        member_out = []
+        size = 1 << 13
         try:
-            out.append(d.decompress(rest))
+            while pos < n and not d.eof:
+                chunk = mv[pos : pos + size]
+                member_out.append(d.decompress(chunk))
+                pos += len(chunk)
+                size = min(size * 8, _GZ_CHUNK)
         except zlib.error:
-            break
+            break  # corrupt member: discard it, keep prior members
+        out.extend(member_out)
         if not d.eof:
             break  # truncated final member: keep what decoded
-        rest = d.unused_data
+        pos -= len(d.unused_data)  # rewind the tail of the last chunk
     return b"".join(out)
 
 

@@ -267,3 +267,29 @@ def test_truncated_quoted_tag_matches_parser_reference():
         ("before", 0, 6, False),
         ('<a x="1>2"', 0, 10, False),
     ]
+
+
+def test_gzip_member_split_is_linear_in_member_count():
+    """The naive whole-rest refeed was O(members x file size); pin the
+    chunked splitter's per-member cost flat as member count quadruples."""
+    import time
+
+    from documentprocessor_spark.sources.warc import _split_gzip_members
+
+    import gzip
+
+    member = gzip.compress(b"WARC/1.0\r\n" + b"x" * 500)
+
+    def per_member(k):
+        data = member * k
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = _split_gzip_members(data)
+            best = min(best, time.perf_counter() - t0)
+        assert len(out) == k * 510
+        return best / k
+
+    small, big = per_member(2000), per_member(8000)
+    # quadratic would make big ~4x small; allow generous noise headroom
+    assert big < small * 2.5, (small, big)
