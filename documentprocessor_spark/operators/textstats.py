@@ -89,3 +89,73 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality_score", quality_score_col(t))
         .withColumn("fingerprint", fingerprint_col(t))
     )
+
+
+def _bigrams_col(toks: Column) -> Column:
+    """Adjacent word pairs as 'w_i w_{i+1}' strings; empty array below 2
+    tokens (guarding F.sequence, which yields DESCENDING for (1, 0))."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Gopher/C4-style repetition signals, entirely as native higher-order
+    functions — zero shuffle, zero Python, so a 100 TB repetition-filter
+    pass is map-only:
+
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams (Gopher drops docs where this is high). The max run
+      length over the SORTED bigram array equals the max multiplicity —
+      computed with one ``aggregate`` fold (prev, run, best).
+    - ``dup_bigram_frac``: (total - distinct) / total bigrams.
+
+    Both rounded to 6 dp; null below 2 tokens.
+    """
+    toks = tokens_col(text)
+    bigrams = _bigrams_col(toks)
+    n = F.size(bigrams)
+    sorted_bg = F.array_sort(bigrams)
+    top_count = F.aggregate(
+        sorted_bg,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    guard = n >= 1
+    return {
+        "n_bigrams": F.when(guard, n).cast("int"),
+        "top_bigram_frac": F.when(
+            guard, F.round(top_count.cast("double") / n, 6)
+        ),
+        "dup_bigram_frac": F.when(
+            guard,
+            F.round(
+                (n - F.size(F.array_distinct(bigrams))).cast("double") / n, 6
+            ),
+        ),
+    }
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the repetition-signal columns in one codegen'd projection."""
+    cols = repetition_cols(F.col(text_col))
+    out = df
+    for name, col in cols.items():
+        out = out.withColumn(name, col)
+    return out

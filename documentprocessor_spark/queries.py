@@ -2590,6 +2590,44 @@ _ORACLE_WARC = """
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters through the REAL operator
+    (textstats.repetition_stats): top-bigram and duplicate-bigram fractions
+    as native higher-order functions (aggregate fold over the sorted bigram
+    array) — map-only, zero shuffle, zero Python. The oracle re-derives
+    both from an unnest+group in DuckDB."""
+    from .operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs).select(
+        "doc_id", "n_bigrams", "top_bigram_frac", "dup_bigram_frac"
+    )
+
+
+_ORACLE_REPETITION = """
+    with w as (
+        select doc_id, string_split(text, ' ') as ws from documents
+    ),
+    bg as (
+        select doc_id, ws[i + 1] || ' ' || ws[i + 2] as g
+        from w, lateral unnest(range(len(ws) - 1)) as t(i)
+        where len(ws) >= 2
+    ),
+    counted as (
+        select doc_id, g, count(*) as c from bg group by doc_id, g
+    ),
+    agg as (
+        select doc_id, sum(c) as n, count(*) as nd, max(c) as topc
+        from counted group by doc_id
+    )
+    select w.doc_id,
+        cast(n as int) as n_bigrams,
+        round(topc / n, 6) as top_bigram_frac,
+        round((n - nd) / n, 6) as dup_bigram_frac
+    from w left join agg using (doc_id)
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio column plumbing through the REAL operator
     (multimodal.extract_audio_features): payloads are little-endian int16
@@ -3044,6 +3082,7 @@ QUERIES = {
     "pdf_extract": q_pdf_extract,
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frame_sample,
+    "repetition_stats": q_repetition_stats,
     "streaming_lang_stats": q_streaming_lang_stats,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
@@ -3101,6 +3140,7 @@ ORACLES = {
     "pdf_extract": _ORACLE_PDF,
     "audio_features": _ORACLE_AUDIO,
     "video_frame_sample": _ORACLE_VIDEO,
+    "repetition_stats": _ORACLE_REPETITION,
     "streaming_lang_stats": _ORACLE_STREAMING,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,

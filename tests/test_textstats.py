@@ -53,3 +53,34 @@ def test_fingerprint_is_md5_of_normalized(stats):
         assert stats[doc_id]["fingerprint"] == hashlib.md5(
             normalized.encode()
         ).hexdigest()
+
+
+def test_repetition_stats_exact_values(spark):
+    from documentprocessor_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a c"),   # bigrams [ab,ba,ab,ba,ac]: top 2/5, dup 2/5
+            (2, "x y z"),         # all distinct
+            (3, "w"),             # below 2 tokens -> nulls
+            (4, "q q q q"),       # one bigram x3: top 1.0, dup 2/3
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.top_bigram_frac, r.dup_bigram_frac)
+        for r in repetition_stats(df).collect()
+    }
+    assert got[1] == (5, 0.4, 0.4)
+    assert got[2] == (2, 0.5, 0.0)
+    assert got[3] == (None, None, None)
+    assert got[4] == (3, 1.0, 0.666667)
+
+
+def test_repetition_stats_plan_is_map_only(spark):
+    from documentprocessor_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffle: the 100 TB pass is map-only
+    assert "Python" not in plan    # native higher-order functions only
