@@ -159,3 +159,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, col in cols.items():
         out = out.withColumn(name, col)
     return out
+
+
+# GPT-2-ish pretokenizer shape, restricted to dialect-portable RE2/Java
+# constructs (letter runs | digit runs | single non-alnum-non-space): the
+# "BPE-ish regex" token counter for budget estimation over a corpus.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def subword_count_col(text: Column) -> Column:
+    """Count of BPE-ish pretokens — native regexp_count, codegen'd."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))

@@ -1030,7 +1030,8 @@ def _simhash_oracle(bits: int = 16) -> str:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textstats.document_stats(docs).select(
-        "doc_id", "token_count", "quality_score", "fingerprint"
+        "doc_id", "token_count", "quality_score", "fingerprint",
+        textstats.subword_count_col(F.col("text")).alias("subword_count"),
     )
 
 
@@ -1047,7 +1048,9 @@ _ORACLE_TEXT_STATS = f"""
                      / greatest(len(string_split(text, ' ')), 1)),
             6
         ) as quality_score,
-        md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) as fingerprint
+        md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) as fingerprint,
+        cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             as int) as subword_count
     from documents
 """
 

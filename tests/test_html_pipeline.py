@@ -136,3 +136,25 @@ def test_run_job_resume_skips_committed(spark, corpus_pages, tmp_path):
     assert spans.join(
         spark.read.parquet(f"{out}/results"), "url", "left_anti"
     ).count() == 0
+
+
+def test_results_read_prunes_url_bucket_partitions(spark, tmp_path):
+    """The results sink is partitioned by url_bucket; a bucket-filtered
+    read must prune at the LISTING level (PartitionFilters in the scan),
+    the property that makes selective re-reads cheap at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from documentprocessor_spark.plans.pipeline import run_job
+    from documentprocessor_spark.sources.synthetic import distributed_corpus
+
+    out = str(tmp_path / "job")
+    run_job(spark, distributed_corpus(spark, 200), out)
+    res = spark.read.parquet(out + "/results")
+    bucket = res.select("url_bucket").first().url_bucket
+    one = res.filter(F.col("url_bucket") == bucket)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "url_bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    # pruned read returns exactly that bucket's rows
+    assert one.count() > 0
