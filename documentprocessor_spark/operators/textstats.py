@@ -154,17 +154,19 @@ def repetition_cols(text: Column) -> dict[str, Column]:
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the repetition-signal columns in one codegen'd projection."""
-    cols = repetition_cols(F.col(text_col))
-    out = df
-    for name, col in cols.items():
-        out = out.withColumn(name, col)
-    return out
+    return df.withColumns(repetition_cols(F.col(text_col)))
 
 
 # GPT-2-ish pretokenizer shape, restricted to dialect-portable RE2/Java
 # constructs (letter runs | digit runs | single non-alnum-non-space): the
 # "BPE-ish regex" token counter for budget estimation over a corpus.
-BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+# Derived from tokenize.SUBTOKEN_RE (the per-word variant) by excluding the
+# space separator from the catch-all class, so the two BPE-ish patterns
+# change in lockstep.
+from .tokenize import SUBTOKEN_RE as _SUBTOKEN_RE
+
+BPE_TOKEN_PATTERN = _SUBTOKEN_RE.replace("[^A-Za-z0-9]", "[^A-Za-z0-9 ]")
+assert BPE_TOKEN_PATTERN != _SUBTOKEN_RE  # the derivation must keep biting
 
 
 def subword_count_col(text: Column) -> Column:

@@ -1049,7 +1049,7 @@ _ORACLE_TEXT_STATS = f"""
             6
         ) as quality_score,
         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) as fingerprint,
-        cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        cast(len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN}'))
              as int) as subword_count
     from documents
 """
@@ -2599,10 +2599,8 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     as native higher-order functions (aggregate fold over the sorted bigram
     array) — map-only, zero shuffle, zero Python. The oracle re-derives
     both from an unnest+group in DuckDB."""
-    from .operators.textstats import repetition_stats
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return repetition_stats(docs).select(
+    return textstats.repetition_stats(docs).select(
         "doc_id", "n_bigrams", "top_bigram_frac", "dup_bigram_frac"
     )
 

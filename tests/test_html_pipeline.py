@@ -153,8 +153,11 @@ def test_results_read_prunes_url_bucket_partitions(spark, tmp_path):
     bucket = res.select("url_bucket").first().url_bucket
     one = res.filter(F.col("url_bucket") == bucket)
     plan = one._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "url_bucket" in plan.split(
-        "PartitionFilters"
-    )[1][:120]
+    # the filter must be INSIDE the PartitionFilters bracket — matching the
+    # 120 chars after the keyword would false-pass on an unpartitioned sink
+    # whose adjacent PushedFilters clause also names url_bucket
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[[^\]]*url_bucket", plan), plan
     # pruned read returns exactly that bucket's rows
     assert one.count() > 0
