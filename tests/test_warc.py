@@ -308,3 +308,34 @@ def test_gzip_member_split_feeds_linear_bytes(monkeypatch):
         out = warc_mod._split_gzip_members(member * k)
         assert len(out) == k * 510
         assert fed["n"] <= len(member) * k + k * 8192, (k, fed["n"])
+
+
+def test_extract_job_cli_warc_format(spark, tmp_path):
+    """The production CLI over --format warc: WARC dir in, committed
+    byte-exact results out (mixed HTML+PDF responses)."""
+    import json
+    from datetime import datetime
+
+    from documentprocessor_spark.sources.pdf import write_pdf
+    from jobs.extract_job import main
+
+    warc_dir = tmp_path / "w"
+    warc_dir.mkdir()
+    recs = [
+        ("https://h.example.com/x", datetime(2024, 1, 15, 12, 0),
+         b"<html><body><p>html words</p></body></html>"),
+        ("https://p.example.com/y", datetime(2024, 1, 15, 12, 1),
+         write_pdf("pdf words here")),
+    ]
+    (warc_dir / "a.warc").write_bytes(write_warc(recs))
+    out = str(tmp_path / "out")
+    main(["--format", "warc", "--input", str(warc_dir), "--output", out],
+         stop_session=False)
+    got = {
+        r.url: r.extracted_text
+        for r in spark.read.parquet(out + "/results").collect()
+    }
+    assert got == {
+        "https://h.example.com/x": "html words",
+        "https://p.example.com/y": "pdf words here",
+    }
