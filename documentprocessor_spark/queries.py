@@ -1523,6 +1523,56 @@ _ORACLE_Q1 = """
 """
 
 
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table join — the join-ordering/broadcast plan
+    audit. Tiny dims (region, nation, supplier) are broadcast; the
+    customer⋈orders⋈lineitem spine shuffles on its keys; revenue in exact
+    integer cents (the cross-engine order-dependence rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(_disc_price_cents()) / 10000.0, 2).alias("revenue")
+    )
+
+
+_ORACLE_Q5 = """
+    select n_name,
+        round(sum(cast(round(l_extendedprice * 100) as bigint)
+                  * (100 - cast(round(l_discount * 100) as bigint)))
+              / 10000.0, 2) as revenue
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+    join nation on s_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    where r_name = 'ASIA'
+      and o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate < timestamp '1997-01-01'
+    group by n_name
+"""
+
+
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
     cust = load_table(spark, sf_dir, "customer")
@@ -3110,6 +3160,7 @@ QUERIES = {
     "minhash_band_pairs": q_minhash_band_pairs,
     "tpch_q1_pricing_summary": q_pricing_summary,
     "tpch_q3_top_revenue": q_top_revenue_orders,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "region_supplier_stats": q_region_supplier_stats,
     "top_part_per_supplier": q_top_part_per_supplier,
     "events_hourly_windows": q_events_hourly,
@@ -3168,6 +3219,7 @@ ORACLES = {
     "minhash_band_pairs": _ORACLE_BAND_PAIRS,
     "tpch_q1_pricing_summary": _ORACLE_Q1,
     "tpch_q3_top_revenue": _ORACLE_Q3,
+    "tpch_q5_local_supplier": _ORACLE_Q5,
     "region_supplier_stats": _ORACLE_REGION,
     "top_part_per_supplier": _ORACLE_TOP_PART,
     "events_hourly_windows": _ORACLE_EVENTS_HOURLY,
