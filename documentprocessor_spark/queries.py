@@ -1573,6 +1573,55 @@ _ORACLE_Q5 = """
 """
 
 
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: aggregate-derived threshold filter (the correlated
+    scalar subquery, decorrelated the Spark way — a per-key avg joined
+    back). Brand dimension broadcast; the threshold (0.2 · avg quantity) is
+    exact cross-engine because quantities are integer-valued doubles (sums
+    are order-independent); revenue in exact cents, and cents/700 can never
+    land on a .5 rounding boundary (7k + 3.5 has no integer solution)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part9 = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#9")
+        .select("p_partkey")
+    )
+    branded = li.join(
+        F.broadcast(part9), li.l_partkey == F.col("p_partkey")
+    )
+    thresholds = branded.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    small = branded.join(thresholds, "l_partkey").where(
+        F.col("l_quantity") < F.col("qty_threshold")
+    )
+    return small.agg(
+        F.round(
+            F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / 7.0, 2
+        ).alias("avg_yearly"),
+        F.count("*").alias("n_small_orders"),
+    )
+
+
+_ORACLE_Q17 = """
+    with branded as (
+        select l_partkey, l_quantity, l_extendedprice
+        from lineitem join part on l_partkey = p_partkey
+        where p_brand = 'Brand#9'
+    ),
+    thresholds as (
+        select l_partkey, 0.2 * avg(l_quantity) as qty_threshold
+        from branded group by l_partkey
+    )
+    select
+        round(sum(cast(round(l_extendedprice * 100) as bigint))
+              / 100.0 / 7.0, 2) as avg_yearly,
+        count(*) as n_small_orders
+    from branded join thresholds using (l_partkey)
+    where l_quantity < qty_threshold
+"""
+
+
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
     cust = load_table(spark, sf_dir, "customer")
@@ -3161,6 +3210,7 @@ QUERIES = {
     "tpch_q1_pricing_summary": q_pricing_summary,
     "tpch_q3_top_revenue": q_top_revenue_orders,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
     "region_supplier_stats": q_region_supplier_stats,
     "top_part_per_supplier": q_top_part_per_supplier,
     "events_hourly_windows": q_events_hourly,
@@ -3220,6 +3270,7 @@ ORACLES = {
     "tpch_q1_pricing_summary": _ORACLE_Q1,
     "tpch_q3_top_revenue": _ORACLE_Q3,
     "tpch_q5_local_supplier": _ORACLE_Q5,
+    "tpch_q17_small_quantity": _ORACLE_Q17,
     "region_supplier_stats": _ORACLE_REGION,
     "top_part_per_supplier": _ORACLE_TOP_PART,
     "events_hourly_windows": _ORACLE_EVENTS_HOURLY,
