@@ -2692,6 +2692,49 @@ _ORACLE_WARC = """
 """
 
 
+def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN through the REAL operator (operators/asof.asof_join:
+    union-window carry-forward, one shuffle on the key, no range cross
+    product) — each click attributed to the user's most recent prior-or-
+    equal purchase. NTZ timestamps compared directly (no casts, no session
+    tz surface). The oracle is DuckDB's NATIVE ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    res = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        values=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return res.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("event_id_asof").alias("purchase_id"),
+        F.round("value_asof", 2).alias("purchase_value"),
+    )
+
+
+_ORACLE_ASOF = """
+    select c.event_id as click_id,
+        c.user_id,
+        p.event_id as purchase_id,
+        round(p.value, 2) as purchase_value
+    from (select * from events where event_type = 'click') c
+    asof left join
+         (select * from events where event_type = 'purchase') p
+      on c.user_id = p.user_id and c.ts >= p.ts
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition filters through the REAL operator
     (textstats.repetition_stats): top-bigram and duplicate-bigram fractions
@@ -3183,6 +3226,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frame_sample,
     "repetition_stats": q_repetition_stats,
+    "asof_purchase_attribution": q_asof_purchase_attribution,
     "streaming_lang_stats": q_streaming_lang_stats,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
@@ -3243,6 +3287,7 @@ ORACLES = {
     "audio_features": _ORACLE_AUDIO,
     "video_frame_sample": _ORACLE_VIDEO,
     "repetition_stats": _ORACLE_REPETITION,
+    "asof_purchase_attribution": _ORACLE_ASOF,
     "streaming_lang_stats": _ORACLE_STREAMING,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,
