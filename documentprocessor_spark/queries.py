@@ -2692,6 +2692,53 @@ _ORACLE_WARC = """
 """
 
 
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch through the REAL operator
+    (operators/sketch.kmv_sketch). md5-based, so — unlike HLL/Count-Min —
+    the ESTIMATE itself is hash-comparable across engines. Two rows cover
+    both regimes: documents.doc_id (distinct ≥ k → (k-1)/h_(k) estimator)
+    and events.user_id (distinct < k → exact)."""
+    from .operators.sketch import kmv_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    a = kmv_sketch(docs, "doc_id", k=64).select(
+        F.lit("documents.doc_id").alias("col"), "k", "kth_hash",
+        "distinct_estimate",
+    )
+    b = kmv_sketch(events, "user_id", k=64).select(
+        F.lit("events.user_id").alias("col"), "k", "kth_hash",
+        "distinct_estimate",
+    )
+    return a.unionByName(b)
+
+
+_ORACLE_KMV = """
+    with sk as (
+        select 'documents.doc_id' as col, h from (
+            select distinct
+                ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint
+                as h
+            from documents
+        ) order by h limit 64
+    ),
+    sk2 as (
+        select 'events.user_id' as col, h from (
+            select distinct
+                ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::bigint
+                as h
+            from events
+        ) order by h limit 64
+    ),
+    merged as (select * from sk union all select * from sk2)
+    select col, cast(64 as int) as k, max(h) as kth_hash,
+        case when count(*) < 64 then cast(count(*) as double)
+             else round(63.0 * 1152921504606846976 / max(h)) end
+            as distinct_estimate
+    from merged group by col
+"""
+
+
 def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF JOIN through the REAL operator (operators/asof.asof_join:
     union-window carry-forward, one shuffle on the key, no range cross
@@ -3227,6 +3274,7 @@ QUERIES = {
     "video_frame_sample": q_video_frame_sample,
     "repetition_stats": q_repetition_stats,
     "asof_purchase_attribution": q_asof_purchase_attribution,
+    "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "streaming_lang_stats": q_streaming_lang_stats,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
@@ -3288,6 +3336,7 @@ ORACLES = {
     "video_frame_sample": _ORACLE_VIDEO,
     "repetition_stats": _ORACLE_REPETITION,
     "asof_purchase_attribution": _ORACLE_ASOF,
+    "kmv_distinct_sketch": _ORACLE_KMV,
     "streaming_lang_stats": _ORACLE_STREAMING,
     "m2_bio_entity_merge": _ORACLE_BIO,
     "m4_cord_parse": _ORACLE_M4,
