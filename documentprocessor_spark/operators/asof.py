@@ -12,9 +12,12 @@ would pay); no per-key Python, no cross product, no O(left × right) pair
 blow-up on hot keys. The DuckDB oracle twin is a native ASOF JOIN.
 
 Determinism: ties among right rows with identical (key, ts) are broken by
-``tiebreak`` (pass a unique column like an event id); matched value
-columns must be non-null on the right side (the carry-forward skips nulls
-— document-level contract, asserted in tests).
+``tiebreak`` (pass a unique column like an event id). The matched right
+row is carried as ONE struct, so its value columns arrive atomically —
+nulls inside a matched row come through as nulls (never mixed with an
+older row's fields), and right rows with a NULL timestamp are dropped up
+front (``right.ts <= left.ts`` is never true for NULL — DuckDB ASOF
+semantics).
 """
 
 from __future__ import annotations
@@ -35,16 +38,22 @@ def asof_join(
     suffix: str = "_asof",
 ) -> DataFrame:
     """Backward-inclusive as-of join. Returns every left row plus
-    ``<value><suffix>`` columns from the matching right row (null when no
-    right row at or before the left timestamp exists for the key)."""
-    lcols = left.columns
-    val_tmp = {v: f"__asof_v_{v}" for v in values}
+    ``<value><suffix>`` columns from the matching right row (all null when
+    no right row at or before the left timestamp exists for the key)."""
+    from pyspark.sql.types import StructField, StructType
 
-    l_side = left.withColumn(_SIDE, F.lit(1))
-    for v in values:
-        l_side = l_side.withColumn(
-            val_tmp[v], F.lit(None).cast(right.schema[v].dataType)
-        )
+    lcols = left.columns
+    vals = "__asof_vals"
+    val_type = StructType(
+        [StructField(v, right.schema[v].dataType, True) for v in values]
+    )
+
+    # the whole matched right row travels as ONE struct — the carry is
+    # atomic, so a null inside a matched row stays that row's null instead
+    # of falling through to an older row's value
+    l_side = left.withColumn(_SIDE, F.lit(1)).withColumn(
+        vals, F.lit(None).cast(val_type)
+    )
 
     # the tiebreak travels as its own column (a right row's tiebreak would
     # otherwise be null-filled with the rest of the left schema): among
@@ -52,24 +61,27 @@ def asof_join(
     tb = "__asof_tb"
     if tiebreak is not None:
         # tiebreak is a RIGHT-side column; left rows carry a typed null
-        # (nulls-first ordering keeps left rows after tied right rows)
         l_side = l_side.withColumn(
             tb, F.lit(None).cast(right.schema[tiebreak].dataType)
         )
 
-    r_side = right.select(
-        F.col(on),
-        F.col(ts),
-        *(F.col(v).alias(val_tmp[v]) for v in values),
-        *( [F.col(tiebreak).alias(tb)] if tiebreak is not None else [] ),
-    ).withColumn(_SIDE, F.lit(0))
+    r_side = (
+        right.where(F.col(ts).isNotNull())  # NULL ts never matches (ASOF)
+        .select(
+            F.col(on),
+            F.col(ts),
+            F.struct(*(F.col(v).alias(v) for v in values)).alias(vals),
+            *([F.col(tiebreak).alias(tb)] if tiebreak is not None else []),
+        )
+        .withColumn(_SIDE, F.lit(0))
+    )
     for c in lcols:
         if c not in (on, ts):
             r_side = r_side.withColumn(
                 c, F.lit(None).cast(left.schema[c].dataType)
             )
 
-    ordered = [*lcols, _SIDE, *val_tmp.values()]
+    ordered = [*lcols, _SIDE, vals]
     if tiebreak is not None:
         ordered.append(tb)
     u = l_side.select(*ordered).unionByName(r_side.select(*ordered))
@@ -82,10 +94,12 @@ def asof_join(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for v in values:
-        u = u.withColumn(
-            f"{v}{suffix}", F.last(val_tmp[v], ignorenulls=True).over(w)
+    filled = F.last(vals, ignorenulls=True).over(w)
+    return (
+        u.withColumn(vals, filled)
+        .where(F.col(_SIDE) == 1)
+        .select(
+            *lcols,
+            *(F.col(vals)[v].alias(f"{v}{suffix}") for v in values),
         )
-    return u.where(F.col(_SIDE) == 1).select(
-        *lcols, *(f"{v}{suffix}" for v in values)
     )

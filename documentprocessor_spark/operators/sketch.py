@@ -39,7 +39,13 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """One-row DataFrame: (k, kth_hash, distinct_estimate). The estimate is
     round((k-1) * 2^60 / h_(k)) when at least k distinct hashes exist, else
     the exact distinct count (the sketch is exact below its capacity)."""
-    hashes = df.select(_hash60(F.col(col)).alias("h")).distinct()
+    # NULLs don't count as a distinct value (and would sort nulls-first
+    # into the bottom-k on the Spark side while DuckDB sorts them last)
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(_hash60(F.col(col)).alias("h"))
+        .distinct()
+    )
     bottom = hashes.orderBy("h").limit(k)
     agg = bottom.agg(
         F.count("*").alias("n_seen"), F.max("h").alias("kth_hash")

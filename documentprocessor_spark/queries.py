@@ -2730,12 +2730,20 @@ _ORACLE_KMV = """
             from events
         ) order by h limit 64
     ),
-    merged as (select * from sk union all select * from sk2)
-    select col, cast(64 as int) as k, max(h) as kth_hash,
-        case when count(*) < 64 then cast(count(*) as double)
-             else round(63.0 * 1152921504606846976 / max(h)) end
-            as distinct_estimate
-    from merged group by col
+    merged as (select * from sk union all select * from sk2),
+    agg as (
+        select col, max(h) as kth_hash,
+            case when count(*) < 64 then cast(count(*) as double)
+                 else round(63.0 * 1152921504606846976 / max(h)) end
+                as distinct_estimate
+        from merged group by col
+    )
+    -- label spine: an empty table still yields its (0-estimate) row,
+    -- matching the Spark side's global aggregate
+    select s.col, cast(64 as int) as k, agg.kth_hash,
+        coalesce(agg.distinct_estimate, 0.0) as distinct_estimate
+    from (values ('documents.doc_id'), ('events.user_id')) s(col)
+    left join agg using (col)
 """
 
 
@@ -2744,15 +2752,27 @@ def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-window carry-forward, one shuffle on the key, no range cross
     product) — each click attributed to the user's most recent prior-or-
     equal purchase. NTZ timestamps compared directly (no casts, no session
-    tz surface). The oracle is DuckDB's NATIVE ASOF LEFT JOIN."""
+    tz surface). The oracle is DuckDB's NATIVE ASOF LEFT JOIN — which
+    leaves (user_id, ts)-tied right rows UNSPECIFIED, so purchases are
+    deduplicated to the max event_id per (user_id, ts) on BOTH sides
+    (current testdata is tie-free; the dedup makes the contract hold for
+    any regeneration)."""
+    from pyspark.sql import Window
+
     from .operators.asof import asof_join
 
     events = load_table(spark, sf_dir, "events")
     clicks = events.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
+    tie_w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .withColumn("__rn", F.row_number().over(tie_w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
     )
     res = asof_join(
         clicks,
@@ -2777,7 +2797,9 @@ _ORACLE_ASOF = """
         round(p.value, 2) as purchase_value
     from (select * from events where event_type = 'click') c
     asof left join
-         (select * from events where event_type = 'purchase') p
+         (select * from events where event_type = 'purchase'
+          qualify row_number() over (partition by user_id, ts
+                                     order by event_id desc) = 1) p
       on c.user_id = p.user_id and c.ts >= p.ts
 """
 

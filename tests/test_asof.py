@@ -65,3 +65,25 @@ def test_plan_single_shuffle_no_cross_product(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     # the only exchange is the window's hash partitioning on the key
     assert plan.count("Exchange hashpartitioning") <= 2  # union sides share
+
+
+def test_null_value_in_matched_row_stays_null_not_mixed(spark):
+    # the matched right row carries atomically: its null field must NOT be
+    # backfilled from an older right row (DuckDB ASOF semantics)
+    left = spark.createDataFrame([(1, 0, 10)], "lid int, k int, ts int")
+    right = spark.createDataFrame(
+        [(5, 0, 3, 7.0), (6, 0, 8, None)], "rid int, k int, ts int, v double"
+    )
+    r = asof_join(left, right, on="k", ts="ts",
+                  values=["rid", "v"], tiebreak="rid").collect()[0]
+    assert (r.rid_asof, r.v_asof) == (6, None)
+
+
+def test_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame([(1, 0, 10)], "lid int, k int, ts int")
+    right = spark.createDataFrame(
+        [(5, 0, None, 7.0)], "rid int, k int, ts int, v double"
+    )
+    r = asof_join(left, right, on="k", ts="ts",
+                  values=["rid", "v"], tiebreak="rid").collect()[0]
+    assert (r.rid_asof, r.v_asof) == (None, None)

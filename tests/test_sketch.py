@@ -33,3 +33,19 @@ def test_plan_is_bottom_k_not_full_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan  # bottom-k, never a global sort
+
+
+def test_nulls_do_not_count_or_skew_the_bottom_k(spark):
+    with_null = spark.createDataFrame(
+        [(i,) for i in range(200)] + [(None,)], "v: int"
+    )
+    without = spark.createDataFrame([(i,) for i in range(200)], "v: int")
+    a = kmv_sketch(with_null, "v", k=16).collect()[0]
+    b = kmv_sketch(without, "v", k=16).collect()[0]
+    assert (a.kth_hash, a.distinct_estimate) == (b.kth_hash, b.distinct_estimate)
+
+
+def test_empty_input_yields_zero_estimate_row(spark):
+    empty = spark.createDataFrame([], "v: int")
+    r = kmv_sketch(empty, "v", k=16).collect()
+    assert len(r) == 1 and r[0].distinct_estimate == 0.0
