@@ -43,3 +43,23 @@ def write_results(df: DataFrame, path_or_table: str, partition_col: str = "url_b
         df.writeTo(path_or_table).append()
     else:
         df.write.mode("append").partitionBy(partition_col).parquet(path_or_table)
+
+
+def read_results(
+    spark: SparkSession,
+    path: str,
+    merge_schema: bool = True,
+    tolerate_corrupt: bool = False,
+) -> DataFrame:
+    """Read the results table back — the read twin of ``write_results``.
+
+    ``merge_schema=True`` unions column sets across partition files: a
+    long-lived 100 TB results table accretes columns as job versions add
+    fields, and a schema pinned to one footer silently drops the others'.
+    ``tolerate_corrupt=True`` skips unreadable files for this read only
+    (per-read option, never a global session flag — a backfill job wants
+    the failure, an analytics read may prefer the rows that survive)."""
+    reader = spark.read.option("mergeSchema", str(merge_schema).lower())
+    if tolerate_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    return reader.parquet(path)

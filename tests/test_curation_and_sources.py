@@ -223,3 +223,42 @@ def test_domain_length_quantiles_grouped_map(spark):
     assert g["n_pages"] == len(heavy)
     assert g["p50"] == float(heavy.quantile(0.5))
     assert g["p99"] == float(heavy.quantile(0.99))
+
+
+def test_read_results_merges_evolved_schemas(spark, tmp_path):
+    """A results table written by two job versions (second adds a column)
+    must read back as the UNION schema with nulls for the old files."""
+    from pyspark.sql import functions as F
+
+    from documentprocessor_spark.sources.tables import read_results
+
+    p = str(tmp_path / "res")
+    v1 = spark.createDataFrame(
+        [("u1", "t1", 0)], "url string, extracted_text string, url_bucket int"
+    )
+    v1.write.mode("append").partitionBy("url_bucket").parquet(p)
+    v2 = v1.withColumn("quality", F.lit(0.9)).withColumn(
+        "url", F.lit("u2")
+    ).withColumn("url_bucket", F.lit(1))
+    v2.write.mode("append").partitionBy("url_bucket").parquet(p)
+    got = {r.url: r for r in read_results(spark, p).collect()}
+    assert set(got) == {"u1", "u2"}
+    assert got["u2"].quality == 0.9 and got["u1"].quality is None
+
+
+def test_read_results_tolerates_corrupt_files_only_when_asked(spark, tmp_path):
+    import pytest as _pytest
+
+    from documentprocessor_spark.sources.tables import read_results
+
+    p = str(tmp_path / "res2")
+    spark.createDataFrame(
+        [("u1", 0)], "url string, url_bucket int"
+    ).write.mode("append").partitionBy("url_bucket").parquet(p)
+    (tmp_path / "res2" / "url_bucket=0" / "junk.parquet").write_bytes(
+        b"PAR1 this is not a real parquet file"
+    )
+    rows = read_results(spark, p, tolerate_corrupt=True).collect()
+    assert [r.url for r in rows] == ["u1"]
+    with _pytest.raises(Exception):
+        read_results(spark, p).collect()  # default surfaces the corruption
