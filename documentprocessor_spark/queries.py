@@ -1622,6 +1622,52 @@ _ORACLE_Q17 = """
 """
 
 
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-filtered IN-subquery (a semi-join against
+    an aggregated relation), then re-join + top-k. Deterministic top-100
+    needs a total order — o_orderkey breaks o_totalprice ties on BOTH
+    engines. Quantities are integer-valued doubles, so the HAVING threshold
+    is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    joined = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+_ORACLE_Q18 = """
+    with big as (
+        select l_orderkey, sum(l_quantity) as total_qty
+        from lineitem group by l_orderkey having sum(l_quantity) > 300
+    )
+    select c_name, o_orderkey,
+        round(o_totalprice, 2) as o_totalprice,
+        round(total_qty, 2) as total_qty
+    from orders
+    join big on o_orderkey = l_orderkey
+    join customer on o_custkey = c_custkey
+    order by o_totalprice desc, o_orderkey asc
+    limit 100
+"""
+
+
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
     cust = load_table(spark, sf_dir, "customer")
@@ -3325,6 +3371,7 @@ QUERIES = {
     "tpch_q3_top_revenue": q_top_revenue_orders,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "region_supplier_stats": q_region_supplier_stats,
     "top_part_per_supplier": q_top_part_per_supplier,
     "events_hourly_windows": q_events_hourly,
@@ -3387,6 +3434,7 @@ ORACLES = {
     "tpch_q3_top_revenue": _ORACLE_Q3,
     "tpch_q5_local_supplier": _ORACLE_Q5,
     "tpch_q17_small_quantity": _ORACLE_Q17,
+    "tpch_q18_large_orders": _ORACLE_Q18,
     "region_supplier_stats": _ORACLE_REGION,
     "top_part_per_supplier": _ORACLE_TOP_PART,
     "events_hourly_windows": _ORACLE_EVENTS_HOURLY,
