@@ -7,6 +7,7 @@ Usage: python tools/check_contract.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 
@@ -22,8 +23,15 @@ from documentprocessor_spark.sources.tables import TPCH_TABLES
 def canon(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    # Decimal canonicalizes like float, NOT like int: DuckDB returns HUGEINT
+    # (-> arrow decimal128 / pandas float64) for bare integer sum()s, and the
+    # driver's fetch path sees that type difference even when the value is
+    # integral. Folding Decimal into the float branch makes an uncast
+    # sum() oracle go red HERE, not only on the driver (round-2 lesson:
+    # exactly the 3 driver-red rows were the 3 oracles with an uncast final
+    # sum()). Oracles must cast integer sums to bigint.
+    if isinstance(v, (float, decimal.Decimal)):
+        if isinstance(v, float) and math.isnan(v):
             return "NaN"
         return f"{v:.6f}"
     return str(v)
@@ -61,7 +69,12 @@ def main():
             continue
         ddf = con.sql(oracles[name])
         dcols = list(ddf.columns)
-        drows = ddf.fetchall()
+        # fetch through Arrow, not fetchall(): fetchall() silently converts
+        # HUGEINT to Python int (masking type divergence the driver's
+        # arrow/pandas fetch path exposes); arrow keeps it decimal128
+        atbl = ddf.arrow()
+        dcols_py = [c.to_pylist() for c in atbl.columns]
+        drows = list(zip(*dcols_py)) if dcols_py else []
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
