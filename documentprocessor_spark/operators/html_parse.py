@@ -268,11 +268,28 @@ def text_to_words(text: str) -> list[dict]:
 @pandas_udf(ArrayType(WORD))
 def parse_words_udf(html: pd.Series, text: pd.Series) -> pd.Series:
     """Batched stage-1 kernel: html bytes (or pre-extracted text when html is
-    null) → array<WORD>."""
+    null) → array<WORD>. Content-sniffs ``%PDF-`` payloads exactly like the
+    fused kernel (operators/extract.py) so the modular two-stage path — the
+    model pipeline, the phase CLI, the debug sink — extracts mixed HTML+PDF
+    crawls identically."""
+    from ..sources.pdf import pdf_tuples
+
     out = []
     for h, t in zip(html, text):
         if h is not None:
-            out.append(html_to_words(h))
+            if (
+                isinstance(h, (bytes, bytearray, memoryview))
+                and bytes(h[:5]) == b"%PDF-"
+            ):
+                out.append(
+                    [
+                        {"text": w, "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                         "confidence": c}
+                        for (w, x0, y0, x1, y1, c) in pdf_tuples(h)
+                    ]
+                )
+            else:
+                out.append(html_to_words(h))
         elif t is not None:
             out.append(text_to_words(t))
         else:

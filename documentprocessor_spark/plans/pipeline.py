@@ -42,16 +42,19 @@ def with_url_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFram
     )
 
 
-def extract_from_pages(pages: DataFrame, n_buckets: int | None = None) -> DataFrame:
+def extract_from_pages(
+    pages: DataFrame, n_buckets: int | None = None, entry_c: bool = False
+) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → one result row per url.
 
     Column-pruned: only url/html/text flow into the kernels; Catalyst prunes
-    the parquet scan to exactly those columns.
+    the parquet scan to exactly those columns. ``entry_c=True`` swaps in the
+    entry-C quirk-compatible kernel twin (config ``extraction.entry_c``).
     """
     df = pages.select("url", "html", "text")
     if n_buckets:
         df = df.repartition(n_buckets, F.col("url"))
-    return fused_extract(df).select(
+    return fused_extract(df, entry_c=entry_c).select(
         "url",
         "extracted_text",
         *SCALAR_FIELDS,
@@ -100,6 +103,55 @@ def confidence_filter(results: DataFrame, min_confidence: float = 0.5) -> DataFr
     return out
 
 
+# ---------------------------------------------------------------------------
+# The model pipeline's three phases as NAMED stage functions. The fused
+# entrypoint (extract_from_pages_with_model) and the phase-separated CLI
+# (jobs/phase_job.py, the reference cli.py:56-126 preprocess/ocr/inference
+# analog) compose exactly these, so chained-phase output is byte-identical
+# to the fused job by construction.
+# ---------------------------------------------------------------------------
+
+
+def parse_stage(pages: DataFrame) -> DataFrame:
+    """Phase 1 (the reference `ocr` command analog): pages → (url, words).
+    Content-sniffs %PDF- payloads like the fused kernel."""
+    from ..operators.html_parse import parse_pages
+
+    return parse_pages(pages.select("url", "html", "text")).select("url", "words")
+
+
+def normalize_stage(words_df: DataFrame) -> DataFrame:
+    """Phase 2 (the reference `preprocess` analog in the words domain):
+    (url, words) → (url, extracted_text, words 0-1000-normalized). The raw
+    text is assembled BEFORE normalization — O5 reads layout order from the
+    raw coordinates."""
+    from ..functions.boxes import normalize_words_col, raw_text_col
+    from ..layout import PAGE_H, PAGE_W
+
+    return words_df.select(
+        "url",
+        raw_text_col(F.col("words")).alias("extracted_text"),
+        normalize_words_col(
+            F.col("words"), F.lit(PAGE_W), F.lit(PAGE_H)
+        ).alias("words"),
+    )
+
+
+def infer_stage(normalized_df: DataFrame) -> DataFrame:
+    """Phase 3 (the reference `inference` command analog): normalized words
+    → model token classification (M1, stubbed) → BIO merge (M2/M3) →
+    model-first merge with heuristic backfill (H12)."""
+    from ..operators.model_infer import model_extract
+
+    df = model_extract(normalized_df)
+    return df.select(
+        "url",
+        "extracted_text",
+        *[F.col(f"model_{name}").alias(name) for name in SCALAR_FIELDS],
+        F.col("model_line_items").alias("line_items"),
+    )
+
+
 def extract_from_pages_with_model(pages: DataFrame) -> DataFrame:
     """The reference's FULL pipeline shape (skip_model=False,
     receipt_processor.py:156-219): parse → 0-1000 normalize → model token
@@ -110,24 +162,7 @@ def extract_from_pages_with_model(pages: DataFrame) -> DataFrame:
     (description/confidence/box — quantities only come from the heuristic
     fallback, matching the reference's model-path output).
     """
-    from ..functions.boxes import normalize_words_col, raw_text_col
-    from ..layout import PAGE_H, PAGE_W
-    from ..operators.html_parse import parse_pages
-    from ..operators.model_infer import model_extract
-
-    df = parse_pages(pages.select("url", "html", "text"))
-    df = df.withColumn("extracted_text", raw_text_col(F.col("words")))
-    df = df.withColumn(
-        "words",
-        normalize_words_col(F.col("words"), F.lit(PAGE_W), F.lit(PAGE_H)),
-    )
-    df = model_extract(df)
-    return df.select(
-        "url",
-        "extracted_text",
-        *[F.col(f"model_{name}").alias(name) for name in SCALAR_FIELDS],
-        F.col("model_line_items").alias("line_items"),
-    )
+    return infer_stage(normalize_stage(parse_stage(pages)))
 
 
 def validate_against_golden(results: DataFrame, golden: DataFrame) -> DataFrame:
@@ -229,6 +264,44 @@ def _committed_count(spark: SparkSession, manifest_path: str) -> int:
 BROADCAST_RESUME_LIMIT = 5_000_000
 
 
+def write_debug_samples(
+    pages: DataFrame, output_dir: str, run_id: str, n: int, extractor=None
+) -> str:
+    """Opt-in per-stage debug sample sink — the Spark analog of the
+    reference's ``DebugOutputManager`` (``cli/debug_output.py:24-339``),
+    which dumps each preprocessing/OCR/result stage as a per-document
+    artifact. Here each STAGE TABLE gets an n-row sample written under
+    ``<output_dir>/debug/run_id=<id>/<stage>``: ``pages`` (raw input),
+    ``words`` (html→words stage), ``normalized`` (0-1000 box-normalized
+    words, width/height taken from the sample's own word extents), and
+    ``fields`` (final extraction). The sample is ``orderBy(url).limit(n)``
+    — deterministic, and per-url consistent across all four stage tables.
+
+    Debug-only path: runs the kernels on n extra rows, never touches the
+    main job's plan or its results/manifest."""
+    from ..functions.boxes import normalize_words_col
+    from ..operators.html_parse import parse_pages
+
+    sample = pages.orderBy("url").limit(n).persist()
+    base = f"{output_dir}/debug/run_id={run_id}"
+    sample.write.mode("overwrite").parquet(f"{base}/pages")
+    words = parse_pages(sample).select("url", "words").persist()
+    words.write.mode("overwrite").parquet(f"{base}/words")
+    wcol = F.col("words")
+    # page extent from the words themselves (the layout model's geometry);
+    # greatest(..., 1) guards the empty-document divide
+    width = F.greatest(F.array_max(F.transform(wcol, lambda w: w["x1"])), F.lit(1))
+    height = F.greatest(F.array_max(F.transform(wcol, lambda w: w["y1"])), F.lit(1))
+    words.select(
+        "url", normalize_words_col(wcol, width, height).alias("words")
+    ).write.mode("overwrite").parquet(f"{base}/normalized")
+    extract = extractor or extract_from_pages
+    extract(sample, None).write.mode("overwrite").parquet(f"{base}/fields")
+    words.unpersist()
+    sample.unpersist()
+    return base
+
+
 def run_job(
     spark: SparkSession,
     pages: DataFrame,
@@ -238,6 +311,7 @@ def run_job(
     run_id: str | None = None,
     collect_stats: bool = True,
     extractor=None,
+    debug_samples: int = 0,
 ) -> dict:
     """Execute the extraction job with resume + manifest. Returns run stats.
 
@@ -247,7 +321,11 @@ def run_job(
 
     ``extractor`` swaps the extraction stage (default extract_from_pages;
     pass ``lambda p, n: extract_from_pages_with_model(p)`` for the model
-    path) — commit/resume/spans/manifest semantics are identical."""
+    path) — commit/resume/spans/manifest semantics are identical.
+
+    ``debug_samples > 0`` additionally writes an N-row sample of each
+    pipeline stage under ``<output_dir>/debug/run_id=<id>/`` (see
+    ``write_debug_samples``)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     results_path = f"{output_dir}/results"
     spans_path = f"{output_dir}/spans"
@@ -265,6 +343,9 @@ def run_job(
             if collect_stats:
                 before = pages.count()
                 skipped = before - todo.count()
+
+    if debug_samples > 0:
+        write_debug_samples(todo, output_dir, run_id, debug_samples, extractor)
 
     t0 = time.monotonic()
     extract = extractor or extract_from_pages

@@ -79,3 +79,30 @@ def read_json_results(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_pages(spark: SparkSession, input_path: str, fmt: str = "parquet") -> DataFrame:
+    """Load a pages table (url, warc_ts, html, text, lang) from any of the
+    supported input formats — the shared input seam of jobs/extract_job.py
+    and jobs/phase_job.py.
+
+    ``parquet``: the table as-is. ``warc``: a Common-Crawl WARC directory
+    (HTML and PDF response bodies both extract — the kernels content-sniff
+    ``%PDF-``). ``pdf-dir``: a directory of .pdf files."""
+    if fmt == "warc":
+        from .warc import read_warc
+
+        return read_warc(spark, input_path)
+    if fmt == "pdf-dir":
+        from .pdf import read_pdf_dir
+
+        return read_pdf_dir(spark, input_path).select(
+            "url",
+            F.lit("1970-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.col("pdf").alias("html"),  # the kernel sniffs %PDF- payloads
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    if fmt != "parquet":
+        raise ValueError(f"unknown pages format: {fmt!r}")
+    return spark.read.parquet(input_path)

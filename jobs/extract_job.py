@@ -30,17 +30,44 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input", required=True)
     parser.add_argument("--output", required=True)
+    parser.add_argument("--config", default=None,
+                        help="YAML/JSON config file (defaults + recursive"
+                             " merge, reference Ocr/src/config.py analog);"
+                             " explicit CLI flags override it")
+    # None-sentinel defaults: an UNSET flag falls through to the config
+    # file, then to DEFAULT_CONFIG — a SET flag always wins
     parser.add_argument("--format", choices=("parquet", "warc", "pdf-dir"),
-                        default="parquet",
+                        default=None,
                         help="pages parquet table, Common-Crawl WARC dir,"
                              " or a directory of .pdf files")
-    parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument("--buckets", type=int, default=None)
     parser.add_argument("--mode", choices=("heuristic", "model"),
-                        default="heuristic")
-    parser.add_argument("--no-resume", action="store_true")
-    parser.add_argument("--stats", action="store_true",
+                        default=None)
+    parser.add_argument("--entry-c", action="store_true", default=None,
+                        help="entry-C quirk-compatible kernel twin")
+    parser.add_argument("--no-resume", action="store_true", default=None)
+    parser.add_argument("--stats", action="store_true", default=None,
                         help="collect skip/count stats (extra scans)")
+    parser.add_argument("--debug-samples", type=int, default=None,
+                        help="write N-row per-stage debug samples next to"
+                             " the manifest (0 = off)")
     args = parser.parse_args(argv)
+
+    from documentprocessor_spark.config import load_config
+
+    cfg = load_config(args.config)
+    job_cfg, ext_cfg = cfg["job"], cfg["extraction"]
+    fmt = args.format if args.format is not None else job_cfg["format"]
+    buckets = args.buckets if args.buckets is not None else job_cfg["buckets"]
+    mode = args.mode if args.mode is not None else job_cfg["mode"]
+    entry_c = args.entry_c if args.entry_c is not None else ext_cfg["entry_c"]
+    resume = (not args.no_resume) if args.no_resume is not None else job_cfg["resume"]
+    stats_on = args.stats if args.stats is not None else job_cfg["stats"]
+    debug_samples = (
+        args.debug_samples
+        if args.debug_samples is not None
+        else job_cfg["debug_samples"]
+    )
 
     from documentprocessor_spark.plans.pipeline import (
         extract_from_pages_with_model,
@@ -48,44 +75,35 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
     )
     from documentprocessor_spark.session import get_spark
 
-    spark = get_spark(app_name=f"dp-extract-{args.mode}")
-    if args.format == "warc":
-        from documentprocessor_spark.sources.warc import read_warc
+    from documentprocessor_spark.sources.readers import read_pages
 
-        pages = read_warc(spark, args.input)
-    elif args.format == "pdf-dir":
-        from pyspark.sql import functions as F
-
-        from documentprocessor_spark.sources.pdf import read_pdf_dir
-
-        pages = read_pdf_dir(spark, args.input).select(
-            "url",
-            F.lit("1970-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
-            F.col("pdf").alias("html"),  # the kernel sniffs %PDF- payloads
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("string").alias("lang"),
-        )
-    else:
-        pages = spark.read.parquet(args.input)
+    spark = get_spark(app_name=f"dp-extract-{mode}")
+    pages = read_pages(spark, args.input, fmt)
 
     # both modes share run_job's commit/resume/manifest semantics; model
     # mode writes to its own subdirectory (different output schema)
-    output = args.output if args.mode == "heuristic" else f"{args.output}/model"
-    extractor = (
-        None
-        if args.mode == "heuristic"
-        else (lambda p, n: extract_from_pages_with_model(p))
-    )
+    output = args.output if mode == "heuristic" else f"{args.output}/model"
+    if mode == "heuristic":
+        from documentprocessor_spark.plans.pipeline import extract_from_pages
+
+        extractor = (
+            None
+            if not entry_c
+            else (lambda p, n: extract_from_pages(p, n, entry_c=True))
+        )
+    else:
+        extractor = lambda p, n: extract_from_pages_with_model(p)  # noqa: E731
     stats = run_job(
         spark,
         pages,
         output,
-        n_buckets=args.buckets,
-        resume=not args.no_resume,
-        collect_stats=args.stats,
+        n_buckets=buckets,
+        resume=resume,
+        collect_stats=stats_on,
         extractor=extractor,
+        debug_samples=debug_samples,
     )
-    stats["mode"] = args.mode
+    stats["mode"] = mode
     print(json.dumps(stats, default=str))
     if stop_session:
         spark.stop()
