@@ -163,6 +163,24 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+# The single persisted `rare` intermediate of the latest ngram_jaccard_pairs
+# call. Each new call unpersists the previous one, so repeated sweeps in a
+# long-lived session never accumulate executor cache; call
+# release_jaccard_cache() after consuming the returned DataFrame to free
+# the last handle (unpersist is lazy-safe: a not-yet-consumed plan simply
+# recomputes the stage).
+_JACCARD_CACHE: list[DataFrame] = []
+
+
+def release_jaccard_cache() -> None:
+    """Unpersist the intermediate cached by the last ngram_jaccard_pairs."""
+    while _JACCARD_CACHE:
+        try:
+            _JACCARD_CACHE.pop().unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = DEFAULT_SHINGLE_N,
                         threshold: float = 0.5,
@@ -189,16 +207,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # `rare` is the compact grouped form (one row per surviving shingle);
     # it feeds both the pair explosion and the per-doc sizes, so persist it
     # (at full crawl scale this intermediate checkpoints to storage).
-    # NOTE: the handle is function-local, so the cache is released only by
-    # Spark's LRU or an explicit spark.catalog.clearCache() — long-lived
-    # sessions calling this repeatedly should clearCache() between sweeps
-    # (bench.py does exactly that between query timings).
+    # Cache lifecycle: each call releases the PREVIOUS call's handle before
+    # persisting (executor cache is bounded at one `rare` relation no
+    # matter how many sweeps a long-lived session runs), and
+    # release_jaccard_cache() frees the last one once the returned
+    # DataFrame has been consumed.
+    release_jaccard_cache()
     rare = (
         pairs.groupBy("sh_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
         .where(F.size("docs") <= df_cap)
         .persist()
     )
+    _JACCARD_CACHE.append(rare)
     sizes = (
         rare.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")

@@ -86,7 +86,7 @@ def fake_token_classifier(tokens: list[str], doc_key: str) -> tuple[list[int], l
 # sandbox); the loading/caching machinery is real and test-pinned.
 
 ALLOWED_MODELS = ("stub-token-classifier",)
-_MODEL_REGISTRY: dict[str, "_StubTokenClassifier"] = {}
+_MODEL_REGISTRY: dict[tuple[str, str], "_StubTokenClassifier"] = {}
 
 
 def resolve_device(requested: str = "auto") -> str:
@@ -121,16 +121,22 @@ def get_model(name: str = "stub-token-classifier",
               device: str = "auto") -> _StubTokenClassifier:
     """M9 lazy singleton: the first call in a process constructs the model,
     every later call returns the SAME object; unknown names raise the
-    reference's allow-list ValueError shape (M8, commands.py:476-494)."""
+    reference's allow-list ValueError shape (M8, commands.py:476-494).
+
+    The registry is keyed by (name, resolved device): a later call asking
+    for a DIFFERENT explicit device gets its own instance instead of
+    silently receiving the model pinned to the first-resolved device
+    ('auto' resolves before the lookup, so auto and its resolution share
+    one entry)."""
     if name not in ALLOWED_MODELS:
         raise ValueError(
             f"unsupported model '{name}'; allowed: {list(ALLOWED_MODELS)}"
         )
-    model = _MODEL_REGISTRY.get(name)
+    resolved = resolve_device(device)
+    key = (name, resolved)
+    model = _MODEL_REGISTRY.get(key)
     if model is None:
-        model = _MODEL_REGISTRY[name] = _StubTokenClassifier(
-            resolve_device(device)
-        )
+        model = _MODEL_REGISTRY[key] = _StubTokenClassifier(resolved)
     return model
 
 

@@ -221,6 +221,75 @@ _ORACLE_H5 = """
 """
 
 
+def q_entry_c_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-C kernel twin through the REAL fused kernel
+    (fused_extract(entry_c=True) → reference_semantics.extract_fields_entry_c,
+    cli/commands.py:192-209): the EXTENDED currency cascade — JPY/CNY at
+    confidence 0.8, CAD and AUD at 0.9 after the authoritative USD/EUR/GBP
+    set. A deterministic currency token is prepended per doc_id; the oracle
+    replays the identical cascade on the identical reconstructed text.
+    Docs with no token (doc_id % 10 = 9) pin the null path; the JPY tokens
+    exercise exactly the branch the default kernel does NOT have."""
+    from .operators.extract import fused_extract
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        F.when(F.col("doc_id") % 10 == 0, F.lit("$"))
+        .when(F.col("doc_id") % 10 == 1, F.lit("USD"))
+        .when(F.col("doc_id") % 10 == 2, F.lit("EUR"))
+        .when(F.col("doc_id") % 10 == 3, F.lit("£"))
+        .when(F.col("doc_id") % 10 == 4, F.lit("GBP"))
+        .when(F.col("doc_id") % 10 == 5, F.lit("JPY"))
+        .when(F.col("doc_id") % 10 == 6, F.lit("CNY"))
+        .when(F.col("doc_id") % 10 == 7, F.lit("CAD"))
+        .when(F.col("doc_id") % 10 == 8, F.lit("AUD"))
+        .otherwise(F.lit("plain"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(tok, F.lit(" "), F.col("text")).alias("text"),
+    )
+    res = fused_extract(pages, entry_c=True)
+    return res.select(
+        "url",
+        F.col("currency.value").alias("currency"),
+        F.round(F.col("currency.confidence"), 2).alias("conf"),
+    )
+
+
+_ORACLE_ENTRY_C = """
+    with d as (
+        select 'doc://' || doc_id as url,
+            case doc_id % 10
+                when 0 then '$'  when 1 then 'USD' when 2 then 'EUR'
+                when 3 then '£'  when 4 then 'GBP' when 5 then 'JPY'
+                when 6 then 'CNY' when 7 then 'CAD' when 8 then 'AUD'
+                else 'plain' end || ' ' || text as full_text
+        from documents
+    )
+    select url,
+        case when contains(full_text, '$') or contains(full_text, 'USD') then 'USD'
+             when contains(full_text, '€') or contains(full_text, 'EUR') then 'EUR'
+             when contains(full_text, '£') or contains(full_text, 'GBP') then 'GBP'
+             when contains(full_text, '¥') or contains(full_text, 'JPY')
+                  or contains(full_text, 'CNY') then 'JPY/CNY'
+             when contains(full_text, 'CAD') then 'CAD'
+             when contains(full_text, 'AUD') then 'AUD' end as currency,
+        -- cast: a bare DECIMAL literal in the final projection is the same
+        -- cross-engine type hazard as HUGEINT (see _ORACLE_H8 note)
+        cast(case
+             when contains(full_text, '$') or contains(full_text, 'USD') then 0.9
+             when contains(full_text, '€') or contains(full_text, 'EUR') then 0.9
+             when contains(full_text, '£') or contains(full_text, 'GBP') then 0.9
+             when contains(full_text, '¥') or contains(full_text, 'JPY')
+                  or contains(full_text, 'CNY') then 0.8
+             when contains(full_text, 'CAD') then 0.9
+             when contains(full_text, 'AUD') then 0.9 end as double) as conf
+    from d
+"""
+
+
 def q_h8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over events (the window/lag/cumsum pattern
     behind H8 line grouping and M2 BIO runs, SURVEY.md §2.6): new session
@@ -2558,6 +2627,24 @@ _ORACLE_READ_RESULTS = """
 """
 
 
+def _docs_fingerprint(docs: DataFrame) -> str:
+    """Order-insensitive content hash of (doc_id, text) — the fixture-dir
+    cache-key component: a regenerated dataset with the SAME row count but
+    different content must yield a different key, so contract fixtures in
+    /tmp can never go stale silently (one distributed agg; the per-doc
+    sha list is a few hundred KB at contract scale)."""
+    row = (
+        docs.select(
+            F.sha2(
+                F.concat_ws("|", F.col("doc_id").cast("string"), "text"), 256
+            ).alias("h")
+        )
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("h")))).alias("fp"))
+        .first()
+    )
+    return row.fp[:12]
+
+
 def q_s1_s2_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 binaryFile scan + S2 pathGlobFilter through the REAL operator
     (sources/readers.read_binary_dir): per-doc .html files plus decoy .bin
@@ -2575,16 +2662,17 @@ def q_s1_s2_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # cache key carries a content fingerprint (doc count), and the marker is
-    # only trusted if the html file count still matches — a stale dir from a
-    # different dataset generation or a partial /tmp cleanup regenerates
+    # cache key carries a CONTENT fingerprint (doc count + order-insensitive
+    # sha of every (doc_id, text)), and the marker is only trusted if the
+    # html file count still matches — a stale dir from a different dataset
+    # generation (even same-count) or a partial /tmp cleanup regenerates
     # instead of silently poisoning the contract check
     n_docs = docs.count()
     scan_dir = (
         tempfile.gettempdir()
         + "/dp_binscan_"
         + _re2.sub(r"\W", "_", sf_dir)
-        + f"_n{n_docs}"
+        + f"_n{n_docs}_{_docs_fingerprint(docs)}"
     )
     marker = os.path.join(scan_dir, "_WRITTEN")
     valid = (
@@ -2780,7 +2868,8 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     files (alternating plain / per-record-gzip members) plus one corrupt
     file and one decoy extension; the scan must recover every page with
     byte-exact bodies, parsed timestamps, and zero rows from the decoys.
-    Dir is deterministic per (sf, n_docs) and outlives the lazy result."""
+    Dir is deterministic per (sf, n_docs, content-fingerprint) and outlives
+    the lazy result."""
     import glob as _glob
     import gzip as _gzip
     import os
@@ -2797,7 +2886,7 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir()
         + "/dp_warcscan_"
         + _re2.sub(r"\W", "_", sf_dir)
-        + f"_n{n_docs}"
+        + f"_n{n_docs}_{_docs_fingerprint(docs)}"
     )
     marker = os.path.join(warc_dir, "_WRITTEN")
     valid = (
@@ -3464,6 +3553,7 @@ QUERIES = {
     "semi_anti_customers": q_semi_anti_customers,
     # new this round
     "read_results_evolution": q_read_results_evolution,
+    "entry_c_currency": q_entry_c_currency,
     # r02-certified, unique certifying row for their op — stay in window
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "o4_normalize_boxes": q_o4_normalize,
@@ -3492,7 +3582,6 @@ QUERIES = {
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash_signatures": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
     "text_stats": q_text_stats,
@@ -3505,6 +3594,7 @@ QUERIES = {
     # green row stands (TPC-H q1/q3/q5/q17, h5, simhash, m6, audio, and
     # rows-only h13 whose check is identical wherever it runs)
     "h13_bucket_distribution": q_h13_bucket_distribution,
+    "dedup_minhash_signatures": q_dedup_minhash,
     "cosine_topk_blas": q_cosine_topk_blas,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "s3_base64_roundtrip": q_s3_base64_roundtrip,
@@ -3527,6 +3617,7 @@ ORACLES = {
     "s4_multipage_order": _ORACLE_S4,
     "s5_s6_json_roundtrip": _ORACLE_S5_S6,
     "read_results_evolution": _ORACLE_READ_RESULTS,
+    "entry_c_currency": _ORACLE_ENTRY_C,
     "m1_token_classifier": _ORACLE_M1,
     "h9_line_items": _ORACLE_H9,
     "h10_h11_quality": _ORACLE_H10_H11,

@@ -220,3 +220,20 @@ def test_m9_device_resolve_and_allow_list():
     assert mi.resolve_device("cuda") == "cuda"  # explicit passes through
     with pytest.raises(ValueError, match="unsupported model"):
         mi.get_model("llava-13b")
+
+
+def test_m9_registry_keyed_by_device():
+    """A later call with a DIFFERENT explicit device must not silently get
+    the instance pinned to the first-resolved device; 'auto' and its
+    resolution share one entry."""
+    from documentprocessor_spark.operators import model_infer as mi
+
+    mi._MODEL_REGISTRY.clear()
+    auto = mi.get_model()                      # auto -> cpu
+    explicit_cpu = mi.get_model(device="cpu")
+    assert auto is explicit_cpu
+    cuda = mi.get_model(device="cuda")
+    assert cuda is not auto
+    assert cuda.device == "cuda" and auto.device == "cpu"
+    assert mi.get_model(device="cuda") is cuda
+    mi._MODEL_REGISTRY.clear()
