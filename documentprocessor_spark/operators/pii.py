@@ -1,0 +1,72 @@
+"""PII detection/redaction over the text column — a standard stage of every
+large-scale web-text training pipeline (emails, phone numbers, IP addresses
+scrubbed before training; cf. the C4/RefinedWeb/FineWeb processing recipes).
+
+Spark-first: pure native column expressions (`regexp_count` /
+`regexp_replace`), fully inside whole-stage codegen — a map-only stage with
+zero Python in the hot path, exactly like textstats. The patterns stick to
+the regex subset common to Java regex (Spark), RE2 (DuckDB) and Python
+`re` — no lookarounds, no possessive quantifiers — so the DuckDB oracle and
+pytest can replay them verbatim.
+
+Redaction replaces each match with a typed placeholder token, longest/most
+specific pattern first (emails before phones before IPs) so a redacted span
+is never re-matched by a later, looser pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Engine-portable patterns (Java regex == RE2 == Python `re` on these):
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+IP_TOKEN = "<IP>"
+
+# (pattern, placeholder) in application order — email first (an address can
+# contain digit runs a looser pattern might clip), then phone, then IPv4
+# (phone redaction runs before IP so `555-123-4567` can't half-match).
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (EMAIL_RE, EMAIL_TOKEN),
+    (PHONE_RE, PHONE_TOKEN),
+    (IPV4_RE, IP_TOKEN),
+)
+
+
+def redact_text_col(text: Column) -> Column:
+    """text → text with every PII span replaced by its placeholder, rules
+    applied in PII_RULES order (Spark regexp_replace replaces ALL matches)."""
+    out = text
+    for pattern, token in PII_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-type match counts, counted in the same staged order redaction
+    applies (each count runs on the text AFTER the previous rule's
+    redaction, so overlapping matches are attributed exactly once, to the
+    earlier rule)."""
+    cols = []
+    staged = text
+    for pattern, token in PII_RULES:
+        name = token.strip("<>").lower()
+        cols.append(F.regexp_count(staged, F.lit(pattern)).alias(f"n_{name}"))
+        staged = F.regexp_replace(staged, pattern, token)
+    return cols
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Append per-type PII counts and the redacted text. Map-only: no
+    shuffle, no Python — scales as a pure scan stage at any corpus size."""
+    return df.select(
+        "*",
+        *pii_counts(F.col(text_col)),
+        redact_text_col(F.col(text_col)).alias(out_col),
+    )

@@ -3524,6 +3524,273 @@ _ORACLE_PIPELINE = """
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline ops, round 3: PII redaction, deterministic
+# sampling, sequence packing, contamination, per-group percentiles
+# ---------------------------------------------------------------------------
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing through the REAL operator (operators/pii.redact_pii:
+    native regexp chain, codegen, map-only). The documents vocabulary has no
+    digits or @-tokens, so deterministic PII is injected by doc_id
+    arithmetic — an email (doc_id % 3 == 0), a phone (doc_id % 4 == 1), an
+    IPv4 (doc_id % 5 == 2); some docs get several, some none. The oracle
+    replays the identical regex pipeline (the patterns live in the portable
+    Java==RE2 subset) on the identical reconstruction."""
+    from .operators.pii import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d3 = F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0")
+    d4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    email = F.concat(F.lit(" user"), F.col("doc_id"), F.lit("@example"),
+                     F.col("doc_id") % 7, F.lit(".com"))
+    phone = F.concat(F.lit(" 555-"), d3, F.lit("-"), d4)
+    ip = F.concat(
+        F.lit(" "), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 3) % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 40 + 1).cast("string"),
+    )
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, email).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 1, phone).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 2, ip).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(salted, "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.sha2(F.col("text_redacted"), 256).alias("redacted_sha"),
+    )
+
+
+_ORACLE_PII = r"""
+    with salted as (
+        select doc_id,
+            text
+            || case when doc_id % 3 = 0 then ' user' || doc_id || '@example'
+                    || (doc_id % 7) || '.com' else '' end
+            || case when doc_id % 4 = 1 then ' 555-'
+                    || lpad(cast(doc_id % 1000 as varchar), 3, '0') || '-'
+                    || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                    else '' end
+            || case when doc_id % 5 = 2 then ' ' || (doc_id % 256) || '.'
+                    || ((doc_id * 3) % 256) || '.' || ((doc_id * 7) % 256)
+                    || '.' || (doc_id % 40 + 1) else '' end as text
+        from documents
+    ),
+    staged as (
+        -- the operator counts each rule on the text AFTER the previous
+        -- rule's redaction; replay the same staging
+        select doc_id, text as t0,
+            regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') as t1
+        from salted
+    ),
+    staged2 as (
+        select *, regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+                                 '<PHONE>', 'g') as t2
+        from staged
+    )
+    select doc_id,
+        len(regexp_extract_all(t0,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as n_email,
+        len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) as n_phone,
+        len(regexp_extract_all(t2,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as n_ip,
+        sha256(regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                              '<IP>', 'g')) as redacted_sha
+    from staged2
+"""
+
+
+# DuckDB twin of operators/sampling.sample_key_col (seed 'dp-sample')
+_SQL_SAMPLE_KEY = (
+    "('0x' || substr(md5('dp-sample:' || cast({id} as varchar)), 1, 8))"
+    "::bigint / 4294967296.0"
+)
+
+
+def q_deterministic_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, layout-independent corpus sampling through the REAL
+    operators (operators/sampling.hash_sample → stratified_quota_sample):
+    Bernoulli p=0.5 by content hash, then an exact 20-per-lang quota ranked
+    by the same hash. The oracle replays the md5 arithmetic bit-for-bit —
+    certifying that the sample is a pure function of the data, not of the
+    cluster layout."""
+    from .operators.sampling import hash_sample, sample_key_col, stratified_quota_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sampled = hash_sample(docs, "doc_id", 0.5)
+    quota = stratified_quota_sample(sampled, "doc_id", "lang", 20)
+    return quota.select(
+        "doc_id",
+        "lang",
+        F.round(sample_key_col(F.col("doc_id")), 6).alias("sample_key"),
+    )
+
+
+_ORACLE_SAMPLING = f"""
+    with keyed as (
+        select doc_id, lang, {_SQL_SAMPLE_KEY.format(id='doc_id')} as u,
+            md5('dp-sample:' || cast(doc_id as varchar)) as h
+        from documents
+    ),
+    sampled as (select * from keyed where u < 0.5),
+    ranked as (
+        select doc_id, lang, u,
+            row_number() over (partition by lang order by u asc, h asc) as rk
+        from sampled
+    )
+    select doc_id, lang, round(u, 6) as sample_key
+    from ranked where rk <= 20
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing through the REAL operator
+    (operators/packing.pack_sequences): per-lang streams in deterministic
+    hash order, 512-token budget; a doc belongs to the pack where it starts
+    and pack_offset is its offset in the concatenated stream. The oracle is
+    the identical running-sum window."""
+    from .operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", 512, part_col="lang",
+                            seed="dp-pack")
+    return packed.select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+
+
+_ORACLE_PACKING = """
+    with t as (
+        select doc_id, lang, len(string_split(text, ' ')) as n_tokens,
+            ('0x' || substr(md5('dp-pack:' || cast(doc_id as varchar)), 1, 8))
+                ::bigint / 4294967296.0 as u
+        from documents
+    ),
+    c as (
+        select doc_id, lang, n_tokens,
+            coalesce(sum(n_tokens) over (
+                partition by lang order by u asc, doc_id asc
+                rows between unbounded preceding and 1 preceding), 0)
+            as cum_before
+        from t
+    )
+    select doc_id, lang, cast(n_tokens as int) as n_tokens,
+        cast(cum_before // 512 as bigint) as pack_id,
+        cast(cum_before % 512 as bigint) as pack_offset
+    from c
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram decontamination through the REAL operator
+    (operators/contamination.contamination_overlap): benchmark = docs with
+    doc_id % 37 == 0, corpus = the rest; a deterministic 13-token span
+    (family doc_id % 3) appended to docs with doc_id % 7 < 2 guarantees
+    cross-set overlap, and duplicate texts in the corpus contribute their
+    real full-text shingle overlaps too. The oracle rebuilds the exact
+    shingle join (13-token slices, same md5-prefix hashes)."""
+    from .operators.contamination import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fam = (F.col("doc_id") % 3).cast("string")
+    span_parts = []
+    for j in range(13):
+        span_parts += [F.lit((" " if j == 0 else " ") + "cx"), fam,
+                       F.lit(f"t{j}")]
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 < 2,
+                   F.concat(*span_parts)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bench = salted.where(F.col("doc_id") % 37 == 0)
+    corpus = salted.where(F.col("doc_id") % 37 != 0)
+    return contamination_overlap(corpus, bench, n=13, df_cap=64)
+
+
+_SPAN_SQL = " || ' ' || ".join(
+    f"'cx' || (doc_id % 3) || 't{j}'" for j in range(13)
+)
+
+_ORACLE_CONTAMINATION = f"""
+    with salted as (
+        select doc_id,
+            text || case when doc_id % 7 < 2
+                then ' ' || {_SPAN_SQL} else '' end as text
+        from documents
+    ),
+    sh as (
+        select doc_id,
+            ('0x' || substr(md5(g), 1, 15))::bigint as sh_hash
+        from (
+            select doc_id,
+                list_aggr(toks[i + 1 : i + 13], 'string_agg', ' ') as g
+            from (
+                select doc_id, string_split(text, ' ') as toks
+                from salted
+            ), lateral unnest(range(len(toks) - 12)) as u(i)
+            where len(toks) >= 13
+        )
+        group by doc_id, sh_hash
+    ),
+    bench as (
+        select sh_hash, count(*) as n_bench
+        from sh where doc_id % 37 = 0
+        group by sh_hash having count(*) <= 64
+    )
+    select s.doc_id, count(*) as n_hits,
+        cast(sum(b.n_bench) as bigint) as n_bench_docs
+    from sh s join bench b using (sh_hash)
+    where s.doc_id % 37 <> 0
+    group by s.doc_id
+"""
+
+
+def q_lang_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution — the length-profile report a
+    curation pipeline runs before choosing truncation budgets. Exact
+    percentiles via Spark `percentile` (sort-based, NOT approx_percentile:
+    its linear interpolation matches DuckDB quantile_cont bit-for-bit,
+    probed cross-engine before this query was added)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("nt")
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(nt, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(nt, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(nt, 0.99)"), 6).alias("p99"),
+        F.max("nt").cast("long").alias("max_tokens"),
+    )
+
+
+_ORACLE_PERCENTILES = """
+    with t as (
+        select lang, len(string_split(text, ' ')) as nt from documents
+    )
+    select lang, count(*) as n_docs,
+        round(quantile_cont(nt, 0.5), 6) as p50,
+        round(quantile_cont(nt, 0.9), 6) as p90,
+        round(quantile_cont(nt, 0.99), 6) as p99,
+        cast(max(nt) as bigint) as max_tokens
+    from t group by lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3554,6 +3821,11 @@ QUERIES = {
     # new this round
     "read_results_evolution": q_read_results_evolution,
     "entry_c_currency": q_entry_c_currency,
+    "pii_redaction": q_pii_redaction,
+    "deterministic_sampling": q_deterministic_sampling,
+    "pack_sequences": q_pack_sequences,
+    "contamination_check": q_contamination_check,
+    "lang_token_percentiles": q_lang_token_percentiles,
     # r02-certified, unique certifying row for their op — stay in window
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "o4_normalize_boxes": q_o4_normalize,
@@ -3563,11 +3835,6 @@ QUERIES = {
     "m1_token_classifier": q_m1_token_classifier,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "m4_cord_parse": q_m4_cord_parse,
-    "h1_vendor_top3": q_h1_vendor_top3,
-    "h2_keyword_window": q_h2_keyword_window,
-    "h3_subtotal_window": q_h3_subtotal_window,
-    "h4_tax_window": q_h4_tax_window,
-    "h6_date_regex": q_h6_date_regex,
     "h7_date_iso": q_h7_date_iso,
     "h9_line_items": q_h9_line_items,
     "h10_h11_quality": q_h10_h11_quality,
@@ -3590,9 +3857,16 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "url_canonicalization": q_url_canonicalization,
     # --- tail --- (position 51+): each op here is either certified by
-    # another in-window row (blas/lsh variants, S3 base64 twin), or its r02
-    # green row stands (TPC-H q1/q3/q5/q17, h5, simhash, m6, audio, and
-    # rows-only h13 whose check is identical wherever it runs)
+    # another in-window row (blas/lsh variants, S3 base64 twin, minhash
+    # signatures inside band-pairs, h1-h6 kernels inside the in-window
+    # flagship pipeline row), or its r02 green row stands (TPC-H
+    # q1/q3/q5/q17, h5, simhash, m6, audio, and rows-only h13 whose check
+    # is identical wherever it runs)
+    "h1_vendor_top3": q_h1_vendor_top3,
+    "h2_keyword_window": q_h2_keyword_window,
+    "h3_subtotal_window": q_h3_subtotal_window,
+    "h4_tax_window": q_h4_tax_window,
+    "h6_date_regex": q_h6_date_regex,
     "h13_bucket_distribution": q_h13_bucket_distribution,
     "dedup_minhash_signatures": q_dedup_minhash,
     "cosine_topk_blas": q_cosine_topk_blas,
@@ -3618,6 +3892,11 @@ ORACLES = {
     "s5_s6_json_roundtrip": _ORACLE_S5_S6,
     "read_results_evolution": _ORACLE_READ_RESULTS,
     "entry_c_currency": _ORACLE_ENTRY_C,
+    "pii_redaction": _ORACLE_PII,
+    "deterministic_sampling": _ORACLE_SAMPLING,
+    "pack_sequences": _ORACLE_PACKING,
+    "contamination_check": _ORACLE_CONTAMINATION,
+    "lang_token_percentiles": _ORACLE_PERCENTILES,
     "m1_token_classifier": _ORACLE_M1,
     "h9_line_items": _ORACLE_H9,
     "h10_h11_quality": _ORACLE_H10_H11,

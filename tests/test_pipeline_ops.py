@@ -1,0 +1,274 @@
+"""Round-3 training-data pipeline operators: PII redaction, deterministic
+sampling, sequence packing, contamination detection. Plan shape (shuffle
+count, Python-free hot paths) asserted alongside semantics; layout
+independence — the property that justifies hash-keyed determinism — is
+pinned by re-running under a different partitioning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,expect_text,counts",
+    [
+        ("mail me at bob.smith+x@corp.example.org today",
+         "mail me at <EMAIL> today", (1, 0, 0)),
+        ("call 555-123-4567 or 555.123.4567 now",
+         "call <PHONE> or <PHONE> now", (0, 2, 0)),
+        ("server at 10.0.255.7 responded", "server at <IP> responded",
+         (0, 0, 1)),
+        ("a@b.co 555-000-1111 1.2.3.4", "<EMAIL> <PHONE> <IP>", (1, 1, 1)),
+        ("no pii here at all", "no pii here at all", (0, 0, 0)),
+        # version strings must NOT be clipped as IPs (needs 4 octets)
+        ("release 1.2.3 is out", "release 1.2.3 is out", (0, 0, 0)),
+        # 4-digit runs break the word boundary -> not a phone
+        ("id 5555-123-45678 stays", "id 5555-123-45678 stays", (0, 0, 0)),
+    ],
+)
+def test_pii_redaction_cases(spark, text, expect_text, counts):
+    from documentprocessor_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    row = redact_pii(df).collect()[0]
+    assert row.text_redacted == expect_text
+    assert (row.n_email, row.n_phone, row.n_ip) == counts
+
+
+def test_pii_matches_python_re(spark):
+    """The operator's Java-regex pipeline must agree with Python `re` on the
+    same portable patterns (the patterns are the contract, the engines are
+    interchangeable)."""
+    import re
+
+    from documentprocessor_spark.operators.pii import PII_RULES, redact_pii
+
+    texts = [
+        f"doc {i} user{i}@ex{i % 5}.net 555-{i % 1000:03d}-{i % 10000:04d} "
+        f"{i % 256}.{(i * 3) % 256}.{(i * 7) % 256}.{i % 40 + 1} tail"
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r.doc_id: r.text_redacted for r in redact_pii(df).collect()}
+    for i, t in enumerate(texts):
+        expect = t
+        for pattern, token in PII_RULES:
+            expect = re.sub(pattern, token, expect)
+        assert got[i] == expect, t
+
+
+def test_pii_plan_is_map_only(spark):
+    from documentprocessor_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame([(1, "a@b.co x")], "doc_id int, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # native regexp only
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def id_table(spark):
+    return spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("lang")
+    )
+
+
+def test_hash_sample_is_layout_independent(spark, id_table):
+    from documentprocessor_spark.operators.sampling import hash_sample
+
+    a = {r.doc_id for r in hash_sample(id_table, "doc_id", 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(
+            id_table.repartition(17, "lang"), "doc_id", 0.3
+        ).collect()
+    }
+    assert a == b  # the sample is a function of the data, not the layout
+    # rate is approximately honored (binomial, n=4000, p=0.3)
+    assert 0.25 < len(a) / 4000 < 0.35
+
+
+def test_hash_sample_is_nested(spark, id_table):
+    """A higher-rate sample must contain every lower-rate sample (the key
+    comparison is against the same uniform u) — the property that makes
+    rate sweeps consistent."""
+    from documentprocessor_spark.operators.sampling import hash_sample
+
+    s10 = {r.doc_id for r in hash_sample(id_table, "doc_id", 0.1).collect()}
+    s50 = {r.doc_id for r in hash_sample(id_table, "doc_id", 0.5).collect()}
+    assert s10 <= s50
+
+
+def test_hash_sample_seed_changes_sample(spark, id_table):
+    from documentprocessor_spark.operators.sampling import hash_sample
+
+    a = {r.doc_id for r in hash_sample(id_table, "doc_id", 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(id_table, "doc_id", 0.3, seed="other").collect()
+    }
+    assert a != b
+
+
+def test_stratified_quota_exact_and_deterministic(spark, id_table):
+    from documentprocessor_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+
+    out = stratified_quota_sample(id_table, "doc_id", "lang", 25).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert set(by_lang) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 25 for v in by_lang.values())
+    out2 = stratified_quota_sample(
+        id_table.repartition(13), "doc_id", "lang", 25
+    ).collect()
+    assert {(r.lang, r.doc_id) for r in out} == {(r.lang, r.doc_id) for r in out2}
+
+
+def test_stratified_quota_small_stratum_keeps_all(spark):
+    from documentprocessor_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+
+    df = spark.range(0, 7).select(
+        F.col("id").alias("doc_id"), F.lit("xx").alias("lang")
+    )
+    assert stratified_quota_sample(df, "doc_id", "lang", 25).count() == 7
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_concat_then_chunk_invariants(spark):
+    from documentprocessor_spark.operators.packing import pack_sequences
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") % 90 + 10).cast("int").alias("nt"),
+    )
+    out = pack_sequences(df, "doc_id", "nt", 256, part_col="grp").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    for grp, rows in by_grp.items():
+        rows.sort(key=lambda r: (r.pack_id, r.pack_offset))
+        # offsets replay the running sum: each doc starts where the stream
+        # stands, pack_id = floor(stream/budget)
+        stream = 0
+        for r in rows:
+            assert r.pack_id == stream // 256
+            assert r.pack_offset == stream % 256
+            stream += r.nt
+        # every pack below the last is fully covered (concat-then-chunk
+        # leaves no gaps)
+        assert rows[-1].pack_id == (stream - rows[-1].nt) // 256
+
+
+def test_pack_sequences_layout_independent(spark):
+    from documentprocessor_spark.operators.packing import pack_sequences
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).alias("grp"),
+        (F.col("id") % 50 + 5).cast("int").alias("nt"),
+    )
+    a = {(r.doc_id, r.pack_id, r.pack_offset)
+         for r in pack_sequences(df, "doc_id", "nt", 128, part_col="grp").collect()}
+    b = {(r.doc_id, r.pack_id, r.pack_offset)
+         for r in pack_sequences(
+             df.repartition(11), "doc_id", "nt", 128, part_col="grp"
+         ).collect()}
+    assert a == b
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from documentprocessor_spark.operators.packing import pack_sequences
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("grp"),
+        F.lit(4).alias("nt"),
+    )
+    plan = pack_sequences(df, "doc_id", "nt", 16, part_col="grp")
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Exchange") == 1  # the window partition, nothing else
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+
+def _texts_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_finds_known_overlap(spark):
+    from documentprocessor_spark.operators.contamination import (
+        contamination_overlap,
+    )
+
+    span = " ".join(f"w{j}" for j in range(13))
+    bench = _texts_df(spark, [(100, f"bench doc says {span} end")])
+    corpus = _texts_df(spark, [
+        (1, f"training doc also has {span} inside"),   # contaminated
+        (2, "totally clean document " + " ".join(f"x{j}" for j in range(13))),
+        (3, span),                                      # exactly the span
+    ])
+    got = {r.doc_id: (r.n_hits, r.n_bench_docs)
+           for r in contamination_overlap(corpus, bench, n=13).collect()}
+    assert set(got) == {1, 3}
+    assert got[3] == (1, 1)   # the single 13-gram, one benchmark doc
+    assert got[1][0] >= 1
+
+
+def test_contamination_df_cap_drops_universal_shingles(spark):
+    from documentprocessor_spark.operators.contamination import (
+        contamination_overlap,
+    )
+
+    span = " ".join(f"b{j}" for j in range(13))
+    # the same 13-gram in EVERY benchmark doc -> df_cap=2 drops it entirely
+    bench = _texts_df(spark, [(i, span) for i in range(100, 104)])
+    corpus = _texts_df(spark, [(1, span)])
+    assert contamination_overlap(corpus, bench, n=13, df_cap=2).count() == 0
+    got = contamination_overlap(corpus, bench, n=13, df_cap=10).collect()
+    assert [(r.doc_id, r.n_hits, r.n_bench_docs) for r in got] == [(1, 1, 4)]
+
+
+def test_contamination_short_docs_never_match(spark):
+    from documentprocessor_spark.operators.contamination import (
+        contamination_overlap,
+    )
+
+    bench = _texts_df(spark, [(100, "short bench text")])
+    corpus = _texts_df(spark, [(1, "short bench text")])  # < 13 tokens
+    assert contamination_overlap(corpus, bench, n=13).count() == 0
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    from documentprocessor_spark.operators.contamination import (
+        contamination_overlap,
+    )
+
+    span = " ".join(f"w{j}" for j in range(13))
+    bench = _texts_df(spark, [(100, span)])
+    corpus = _texts_df(spark, [(1, span)])
+    plan = contamination_overlap(corpus, bench)._jdf.queryExecution()
+    s = plan.executedPlan().toString()
+    assert "BroadcastHashJoin" in s  # the TB-side corpus never shuffles to join

@@ -84,6 +84,27 @@ COMMENTARY = {
         "expressions), pair generation is a BroadcastHashJoin on the "
         "bucket key — no BroadcastNestedLoopJoin, no cross product."
     ),
+    "pii_redaction": (
+        "PII scrub: scan → project, the whole regexp chain inside "
+        "WholeStageCodegen — no Exchange, no Python. Same ideal map-only "
+        "shape as the Gopher filters."
+    ),
+    "deterministic_sampling": (
+        "Hash sampling is a pushed filter (map-side, before any shuffle); "
+        "the stratified quota adds exactly ONE Exchange on the stratum key "
+        "for the row_number window."
+    ),
+    "pack_sequences": (
+        "Concat-then-chunk packing: ONE Exchange (the per-lang window "
+        "partition), running sum inside the Window node, everything else "
+        "codegen. Packs never span partitions, so no global sort exists."
+    ),
+    "contamination_check": (
+        "Decontamination: corpus shingles stream map-side into a "
+        "BroadcastHashJoin against the distinct'd benchmark shingle set "
+        "(MB-scale vs TB-scale — the TB side never shuffles to join); one "
+        "Exchange for the per-doc aggregate."
+    ),
 }
 
 KEYS = (
