@@ -19,8 +19,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Engine-portable patterns (Java regex == RE2 == Python `re` on these):
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Engine-portable patterns (Java regex == RE2 == Python `re` on these).
+# Every quantifier is BOUNDED (RFC 5321 limits: 64-char local part, 255-char
+# domain): an unbounded `[...]+@` is quadratic on non-matching character
+# runs — each start position rescans the whole run — and a crawl page with
+# a 100 KB base64/digit token would take seconds in the kernel
+# (measured: 16 s per 100 KB run with the unbounded form, ~10 ms bounded).
+# Bounds keep per-position work constant WITHOUT possessive quantifiers,
+# which RE2 (the DuckDB oracle) does not support. Oversized local parts
+# redact their trailing 64 chars — still scrubbed, and invalid as
+# addresses anyway. Linearity pinned by test_pii_patterns_linear_time.
+EMAIL_RE = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}"
 PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 

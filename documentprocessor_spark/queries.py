@@ -3570,6 +3570,13 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the oracle's regexes are SINGLE-SOURCED from the operator module (the
+# patterns live in the Java==RE2 portable subset, backslashes pass through
+# DuckDB standard string literals verbatim) — they cannot drift
+from .operators.pii import EMAIL_RE as _EMAIL_RE  # noqa: E402
+from .operators.pii import IPV4_RE as _IPV4_RE  # noqa: E402
+from .operators.pii import PHONE_RE as _PHONE_RE  # noqa: E402
+
 _ORACLE_PII = r"""
     with salted as (
         select doc_id,
@@ -3589,26 +3596,22 @@ _ORACLE_PII = r"""
         -- the operator counts each rule on the text AFTER the previous
         -- rule's redaction; replay the same staging
         select doc_id, text as t0,
-            regexp_replace(text,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                '<EMAIL>', 'g') as t1
+            regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') as t1
         from salted
     ),
     staged2 as (
-        select *, regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
-                                 '<PHONE>', 'g') as t2
+        select *, regexp_replace(t1, '@PHONE@', '<PHONE>', 'g') as t2
         from staged
     )
     select doc_id,
-        len(regexp_extract_all(t0,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as n_email,
-        len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) as n_phone,
-        len(regexp_extract_all(t2,
-            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as n_ip,
-        sha256(regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
-                              '<IP>', 'g')) as redacted_sha
+        len(regexp_extract_all(t0, '@EMAIL@')) as n_email,
+        len(regexp_extract_all(t1, '@PHONE@')) as n_phone,
+        len(regexp_extract_all(t2, '@IP@')) as n_ip,
+        sha256(regexp_replace(t2, '@IP@', '<IP>', 'g')) as redacted_sha
     from staged2
-"""
+""".replace("@EMAIL@", _EMAIL_RE).replace("@PHONE@", _PHONE_RE).replace(
+    "@IP@", _IPV4_RE
+)
 
 
 # DuckDB twin of operators/sampling.sample_key_col (seed 'dp-sample')

@@ -272,3 +272,27 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = contamination_overlap(corpus, bench)._jdf.queryExecution()
     s = plan.executedPlan().toString()
     assert "BroadcastHashJoin" in s  # the TB-side corpus never shuffles to join
+
+
+def test_pii_patterns_linear_time():
+    """CLAUDE.md: pin new regex patterns with a linear-time test. The email
+    pattern's adjacent `+` quantifiers over overlapping classes must not
+    backtrack catastrophically on near-miss inputs (no nested quantifiers
+    anywhere in PII_RULES, so the scan stays linear)."""
+    import re
+    import time
+
+    from documentprocessor_spark.operators.pii import PII_RULES
+
+    evil = [
+        "a" * 100_000 + "@",                   # endless local part, no domain
+        "a@" + "b." * 50_000,                   # dotted domain, no TLD finish
+        "5" * 100_000,                          # digit run for phone/ip
+        ("1." * 60_000),                        # dot-digit run for ipv4
+    ]
+    t0 = time.perf_counter()
+    for pattern, _ in PII_RULES:
+        rx = re.compile(pattern)
+        for s in evil:
+            rx.findall(s)
+    assert time.perf_counter() - t0 < 2.0

@@ -134,3 +134,42 @@ def test_windowed_domain_counts_with_watermark(spark, tmp_path):
     # append mode emits only watermark-closed windows; with availableNow all
     # windows close at stream end, so the sets must match exactly
     assert got == expected
+
+
+def test_dedup_stream_first_seen_wins_across_microbatches(spark, tmp_path):
+    """dropDuplicates state spans micro-batches: a url seen in file 1 must
+    be dropped when file 2 re-delivers it (re-crawls / retried fetches)."""
+    from datetime import datetime
+
+    from documentprocessor_spark.streaming.stream import dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    ts = datetime(2021, 1, 15, 12, 0, 0)
+    batch1 = [(f"https://a.example/{i}", ts, b"<p>x</p>", "x", "en")
+              for i in range(10)]
+    # file 2: 5 re-deliveries + 5 new urls
+    batch2 = [(f"https://a.example/{i}", ts, b"<p>y</p>", "y", "en")
+              for i in range(5, 15)]
+    spark.createDataFrame(batch1, PAGES).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    spark.createDataFrame(batch2, PAGES).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(in_dir)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_stream_test").collect()
+    urls = [r.url for r in out]
+    assert len(urls) == len(set(urls)) == 15  # 0..14 once each
+    assert set(urls) == {f"https://a.example/{i}" for i in range(15)}
