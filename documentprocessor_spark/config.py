@@ -39,22 +39,39 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "extraction": {
         "entry_c": False,         # entry-C quirk-compatible kernel twin
         # reference postprocessing.min_confidence / verify_totals
-        # (config.py:40-43) — H11 confidence filter and H10 totals check
+        # (config.py:40-43) — H11 confidence filter and H10 totals check.
+        # Applied only when apply_quality is true: the reference DEFINES
+        # them but leaves them out of its default output path (SURVEY
+        # §8.7), so they stay opt-in here too.
+        "apply_quality": False,
         "min_confidence": 0.5,
         "verify_totals": True,
     },
     "session": {
-        "app_name": "dp-extract",
+        "app_name": None,             # None -> job-derived ("dp-extract-<mode>")
         "shuffle_partitions": None,   # None -> engine default (core count)
         "max_partition_bytes": None,  # None -> engine default ("8m")
     },
     "model": {
-        # sandbox stub registry names; on a real cluster these become HF ids
+        # sandbox stub registry names; on a real cluster these become HF
+        # ids. name_or_path is validated against the M8 allow-list at job
+        # start (fail fast, reference commands.py:476-494) and the device
+        # is resolved driver-side; the stub forward pass itself is
+        # deterministic regardless.
         "name_or_path": "stub-token-classifier",
         "type": "layoutlmv3",     # donut | idefics2 | layoutlmv3
-        "device": "cpu",
+        "device": "auto",
     },
 }
+
+
+def _deep_copy_cfg(value: Any) -> Any:
+    """Copy nested dicts/lists so no part of the result aliases an input."""
+    if isinstance(value, dict):
+        return {k: _deep_copy_cfg(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_deep_copy_cfg(v) for v in value]
+    return value
 
 
 def merge_configs(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
@@ -62,13 +79,18 @@ def merge_configs(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, A
 
     Reference semantics (``config.py:81-97``): when both sides hold a dict
     the merge recurses; any other pairing — scalar over dict, dict over
-    scalar, list over list — REPLACES. Neither input is mutated."""
-    result = dict(base)
+    scalar, list over list — REPLACES. Neither input is mutated, and the
+    RESULT shares no structure with either input — a caller mutating the
+    merged config (the save_config 'effective config' flow does) must
+    never corrupt the process-global DEFAULT_CONFIG through an aliased
+    nested dict (the reference's shallow .copy() has exactly that bug;
+    deliberately not reproduced)."""
+    result = {k: _deep_copy_cfg(v) for k, v in base.items()}
     for key, value in override.items():
         if key in result and isinstance(result[key], dict) and isinstance(value, dict):
             result[key] = merge_configs(result[key], value)
         else:
-            result[key] = value
+            result[key] = _deep_copy_cfg(value)
     return result
 
 

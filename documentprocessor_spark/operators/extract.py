@@ -86,6 +86,19 @@ def extract_fields_udf(words_series: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([_extract_one(words) for words in words_series])
 
 
+@pandas_udf(EXTRACT_STRUCT)
+def extract_fields_entry_c_udf(words_series: pd.Series) -> pd.DataFrame:
+    """Entry-C twin of extract_fields_udf (the words-path analog of
+    fused_extract(entry_c=True)): tax-box y0 quirk + extended currency set
+    (SURVEY §8.4-8.5)."""
+    return pd.DataFrame(
+        [
+            _extract_one_from_tuples(_to_tuples(words), ref.extract_fields_entry_c)
+            for words in words_series
+        ]
+    )
+
+
 # Arrow twin of the output schema, DERIVED from the Spark schema so the two
 # cannot drift (pa.array on dict rows is ~1.8x faster end-to-end than
 # routing nested structs through pandas object columns — measured on the
@@ -204,10 +217,13 @@ def normalize_words_udf_factory():
     return _norm
 
 
-def attach_extraction(df: DataFrame, words_col: str = "words") -> DataFrame:
+def attach_extraction(df: DataFrame, words_col: str = "words",
+                      entry_c: bool = False) -> DataFrame:
     """Append extraction output columns to a DataFrame with an array<WORD>
-    column. One shuffle-free projection stage."""
-    out = df.withColumn("_ex", extract_fields_udf(F.col(words_col)))
+    column. One shuffle-free projection stage. ``entry_c=True`` routes
+    through the entry-C kernel twin, mirroring fused_extract's option."""
+    udf = extract_fields_entry_c_udf if entry_c else extract_fields_udf
+    out = df.withColumn("_ex", udf(F.col(words_col)))
     for name in ("extracted_text", *SCALAR_FIELDS, "line_items", "status", "error"):
         out = out.withColumn(name, F.col(f"_ex.{name}"))
     return out.drop("_ex")

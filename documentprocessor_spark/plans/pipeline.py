@@ -272,29 +272,21 @@ def write_debug_samples(
     which dumps each preprocessing/OCR/result stage as a per-document
     artifact. Here each STAGE TABLE gets an n-row sample written under
     ``<output_dir>/debug/run_id=<id>/<stage>``: ``pages`` (raw input),
-    ``words`` (html→words stage), ``normalized`` (0-1000 box-normalized
-    words, width/height taken from the sample's own word extents), and
-    ``fields`` (final extraction). The sample is ``orderBy(url).limit(n)``
-    — deterministic, and per-url consistent across all four stage tables.
+    ``words`` (html→words stage), ``normalized`` (the OUTPUT OF
+    ``normalize_stage`` — the exact 0-1000/PAGE_W×PAGE_H normalization the
+    model pipeline consumes, so debug boxes are comparable to model
+    behavior, never a lookalike), and ``fields`` (final extraction). The
+    sample is ``orderBy(url).limit(n)`` — deterministic, and per-url
+    consistent across all four stage tables.
 
     Debug-only path: runs the kernels on n extra rows, never touches the
     main job's plan or its results/manifest."""
-    from ..functions.boxes import normalize_words_col
-    from ..operators.html_parse import parse_pages
-
     sample = pages.orderBy("url").limit(n).persist()
     base = f"{output_dir}/debug/run_id={run_id}"
     sample.write.mode("overwrite").parquet(f"{base}/pages")
-    words = parse_pages(sample).select("url", "words").persist()
+    words = parse_stage(sample).persist()
     words.write.mode("overwrite").parquet(f"{base}/words")
-    wcol = F.col("words")
-    # page extent from the words themselves (the layout model's geometry);
-    # greatest(..., 1) guards the empty-document divide
-    width = F.greatest(F.array_max(F.transform(wcol, lambda w: w["x1"])), F.lit(1))
-    height = F.greatest(F.array_max(F.transform(wcol, lambda w: w["y1"])), F.lit(1))
-    words.select(
-        "url", normalize_words_col(wcol, width, height).alias("words")
-    ).write.mode("overwrite").parquet(f"{base}/normalized")
+    normalize_stage(words).write.mode("overwrite").parquet(f"{base}/normalized")
     extract = extractor or extract_from_pages
     extract(sample, None).write.mode("overwrite").parquet(f"{base}/fields")
     words.unpersist()

@@ -3709,8 +3709,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam = (F.col("doc_id") % 3).cast("string")
     span_parts = []
     for j in range(13):
-        span_parts += [F.lit((" " if j == 0 else " ") + "cx"), fam,
-                       F.lit(f"t{j}")]
+        span_parts += [F.lit(" cx"), fam, F.lit(f"t{j}")]
     salted = docs.select(
         "doc_id",
         F.concat(

@@ -75,9 +75,33 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
     )
     from documentprocessor_spark.session import get_spark
 
+    if entry_c and mode == "model":
+        # fail fast instead of silently running the authoritative model
+        # path: the entry-C twins are heuristic-kernel options
+        raise SystemExit(
+            "--entry-c / extraction.entry_c applies to the heuristic kernel "
+            "only; the model path has no entry-C variant"
+        )
+
     from documentprocessor_spark.sources.readers import read_pages
 
-    spark = get_spark(app_name=f"dp-extract-{mode}")
+    sess_cfg = cfg["session"]
+    extra_conf = {}
+    if sess_cfg["max_partition_bytes"] is not None:
+        extra_conf["spark.sql.files.maxPartitionBytes"] = str(
+            sess_cfg["max_partition_bytes"]
+        )
+    spark = get_spark(
+        app_name=sess_cfg["app_name"] or f"dp-extract-{mode}",
+        shuffle_partitions=sess_cfg["shuffle_partitions"],
+        extra_conf=extra_conf or None,
+    )
+    if mode == "model":
+        # M8 allow-list + device resolution, driver-side, before any work
+        # (reference commands.py:476-494 validates the model up front)
+        from documentprocessor_spark.operators.model_infer import get_model
+
+        get_model(cfg["model"]["name_or_path"], cfg["model"]["device"])
     pages = read_pages(spark, args.input, fmt)
 
     # both modes share run_job's commit/resume/manifest semantics; model
@@ -86,13 +110,34 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
     if mode == "heuristic":
         from documentprocessor_spark.plans.pipeline import extract_from_pages
 
-        extractor = (
+        base_extractor = (
             None
             if not entry_c
             else (lambda p, n: extract_from_pages(p, n, entry_c=True))
         )
     else:
-        extractor = lambda p, n: extract_from_pages_with_model(p)  # noqa: E731
+        base_extractor = lambda p, n: extract_from_pages_with_model(p)  # noqa: E731
+
+    # extraction.apply_quality: opt-in H11 confidence filter + H10 totals
+    # verification on the committed rows (SURVEY §8.7 — defined by the
+    # reference, kept out of ITS default path, so opt-in here too)
+    if ext_cfg["apply_quality"]:
+        from documentprocessor_spark.plans.pipeline import (
+            confidence_filter,
+            extract_from_pages,
+            with_quality_columns,
+        )
+
+        inner = base_extractor or (lambda p, n: extract_from_pages(p, n))
+        min_conf = ext_cfg["min_confidence"]
+        verify = ext_cfg["verify_totals"]
+
+        def extractor(p, n):
+            out = confidence_filter(inner(p, n), min_confidence=min_conf)
+            return with_quality_columns(out) if verify else out
+
+    else:
+        extractor = base_extractor
     stats = run_job(
         spark,
         pages,

@@ -50,7 +50,17 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
                         default="model",
                         help="`extract` phase: model consumes the normalized"
                              " table, heuristic the raw words table")
+    parser.add_argument("--entry-c", action="store_true",
+                        help="`extract --mode heuristic` only: entry-C"
+                             " quirk-compatible kernel twin")
     args = parser.parse_args(argv)
+
+    if args.entry_c and not (args.phase == "extract" and args.mode == "heuristic"):
+        raise SystemExit(
+            "--entry-c applies only to `extract --mode heuristic` (the "
+            "model path and the parse/normalize phases have no entry-C "
+            "variant)"
+        )
 
     from documentprocessor_spark.session import get_spark
 
@@ -77,7 +87,7 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
             )
 
             words = spark.read.parquet(args.input)
-            out = attach_extraction(words).drop("words")
+            out = attach_extraction(words, entry_c=args.entry_c).drop("words")
 
     out.write.mode("overwrite").parquet(args.output)
     n_rows = spark.read.parquet(args.output).count()

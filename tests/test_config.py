@@ -57,6 +57,23 @@ def test_merge_does_not_mutate_inputs():
     assert base == snap_base and override == snap_override
 
 
+def test_merge_result_shares_no_structure_with_inputs():
+    """Mutating the merged config must never write through into an input —
+    in particular, load_config callers tweaking the result must not corrupt
+    the process-global DEFAULT_CONFIG (the reference's shallow .copy() has
+    exactly that aliasing bug; deliberately not reproduced)."""
+    snap = copy.deepcopy(DEFAULT_CONFIG)
+    cfg = load_config(None)
+    cfg["job"]["buckets"] = 999
+    cfg["extraction"]["entry_c"] = True
+    assert DEFAULT_CONFIG == snap
+    base = {"a": {"l": [1, 2]}}
+    merged = merge_configs(base, {"b": {"m": [3]}})
+    merged["a"]["l"].append(99)
+    merged["b"]["m"].append(99)
+    assert base == {"a": {"l": [1, 2]}}
+
+
 # ---------------------------------------------------------------------------
 # load_config (reference config.py:49-78)
 # ---------------------------------------------------------------------------
@@ -185,6 +202,80 @@ def test_extract_job_config_entry_c_matches_direct_kernel(
     assert sorted(got.select(*cols).collect()) == sorted(want.select(*cols).collect())
 
 
+def test_extract_job_wires_session_config(spark, pages_parquet, tmp_path,
+                                          capsys, monkeypatch):
+    """session.* config keys must actually reach get_spark — a config file
+    setting them silently doing nothing is the bug class this pins."""
+    import documentprocessor_spark.session as sess_mod
+
+    captured = {}
+    real_get_spark = sess_mod.get_spark
+
+    def spy(*a, **kw):
+        captured.update(kw)
+        return real_get_spark(*a, **kw)
+
+    monkeypatch.setattr(sess_mod, "get_spark", spy)
+    cfgp = tmp_path / "job.yaml"
+    cfgp.write_text(
+        "session:\n  app_name: my-job\n  shuffle_partitions: 8\n"
+        "  max_partition_bytes: 16m\n"
+    )
+    _run_job_cli(spark, [
+        "--input", pages_parquet, "--output", str(tmp_path / "out"),
+        "--config", str(cfgp),
+    ])
+    assert captured["app_name"] == "my-job"
+    assert captured["shuffle_partitions"] == 8
+    assert captured["extra_conf"] == {
+        "spark.sql.files.maxPartitionBytes": "16m"
+    }
+
+
+def test_extract_job_apply_quality_config(spark, pages_parquet, tmp_path, capsys):
+    """extraction.apply_quality wires H11 confidence filter + H10 totals
+    verification into the committed results."""
+    cfgp = tmp_path / "job.yaml"
+    cfgp.write_text(
+        "extraction:\n  apply_quality: true\n  min_confidence: 0.99\n"
+    )
+    out = str(tmp_path / "out")
+    _run_job_cli(spark, [
+        "--input", pages_parquet, "--output", out, "--config", str(cfgp),
+    ])
+    res = spark.read.parquet(out + "/results")
+    assert "totals_verified" in res.columns
+    # min_confidence 0.99 nulls every sub-0.99 field the kernel emitted
+    from documentprocessor_spark.plans.pipeline import extract_from_pages
+
+    raw = extract_from_pages(spark.read.parquet(pages_parquet))
+    n_low = raw.filter(
+        "vendor_name is not null and vendor_name.confidence < 0.99"
+    ).count()
+    if n_low:  # the corpus does produce sub-0.99 vendors
+        assert res.filter(
+            "vendor_name is not null and vendor_name.confidence < 0.99"
+        ).count() == 0
+
+
+def test_extract_job_entry_c_with_model_mode_fails_fast(spark, pages_parquet, tmp_path):
+    with pytest.raises(SystemExit):
+        _run_job_cli(spark, [
+            "--input", pages_parquet, "--output", str(tmp_path / "out"),
+            "--mode", "model", "--entry-c",
+        ])
+
+
+def test_extract_job_model_config_validates_allow_list(spark, pages_parquet, tmp_path):
+    cfgp = tmp_path / "job.yaml"
+    cfgp.write_text("model:\n  name_or_path: llava-13b\njob:\n  mode: model\n")
+    with pytest.raises(ValueError, match="unsupported model"):
+        _run_job_cli(spark, [
+            "--input", pages_parquet, "--output", str(tmp_path / "out"),
+            "--config", str(cfgp),
+        ])
+
+
 # ---------------------------------------------------------------------------
 # debug sample sink (reference cli/debug_output.py analog)
 # ---------------------------------------------------------------------------
@@ -218,12 +309,23 @@ def test_debug_samples_written_and_match_pipeline(spark, pages_parquet, tmp_path
         main_res.alias("m"), "url"
     ).filter("s.extracted_text <> m.extracted_text")
     assert sample_vs_main.count() == 0
-    # normalized boxes are within the 0-1000 scale
+    # the normalized stage table IS normalize_stage's output (the exact
+    # normalization the model pipeline consumes), not a lookalike
+    from documentprocessor_spark.plans.pipeline import (
+        normalize_stage,
+        parse_stage,
+    )
+
     norm = spark.read.parquet(f"{base}/normalized")
-    bad = norm.selectExpr(
-        "size(filter(words, w -> w.x1 > 1000 or w.y1 > 1000 or w.x0 < 0)) as n"
-    ).filter("n > 0")
-    assert bad.count() == 0
+    pages = spark.read.parquet(pages_parquet)
+    sample_urls = stage_urls["pages"]
+    want = normalize_stage(
+        parse_stage(pages.filter(pages.url.isin(sample_urls)))
+    )
+    assert sorted(norm.columns) == sorted(want.columns)
+    got_rows = {r.url: (r.extracted_text, r.words) for r in norm.collect()}
+    want_rows = {r.url: (r.extracted_text, r.words) for r in want.collect()}
+    assert got_rows == want_rows
 
 
 def test_debug_samples_off_writes_nothing(spark, pages_parquet, tmp_path):

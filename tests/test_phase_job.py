@@ -92,3 +92,29 @@ def test_phase_parse_rerun_is_idempotent(spark, mixed_pages, tmp_path, capsys):
     first = _rows(spark.read.parquet(words))
     _run(spark, ["parse", "--input", mixed_pages, "--output", words])
     assert _rows(spark.read.parquet(words)) == first
+
+
+def test_phase_extract_entry_c_equals_fused_entry_c(spark, mixed_pages, tmp_path, capsys):
+    from documentprocessor_spark.plans.pipeline import extract_from_pages
+
+    words = str(tmp_path / "words")
+    results = str(tmp_path / "results")
+    _run(spark, ["parse", "--input", mixed_pages, "--output", words])
+    _run(spark, ["extract", "--input", words, "--output", results,
+                 "--mode", "heuristic", "--entry-c"])
+    chained = spark.read.parquet(results)
+    fused = extract_from_pages(spark.read.parquet(mixed_pages), entry_c=True)
+    assert chained.columns == fused.columns
+    assert _rows(chained) == _rows(fused)
+
+
+def test_phase_entry_c_rejected_outside_heuristic_extract(spark, mixed_pages, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        _run(spark, ["parse", "--input", mixed_pages,
+                     "--output", str(tmp_path / "w"), "--entry-c"])
+    with pytest.raises(SystemExit):
+        _run(spark, ["extract", "--input", str(tmp_path / "w"),
+                     "--output", str(tmp_path / "r"), "--mode", "model",
+                     "--entry-c"])
