@@ -85,11 +85,14 @@ def merge_configs(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, A
     never corrupt the process-global DEFAULT_CONFIG through an aliased
     nested dict (the reference's shallow .copy() has exactly that bug;
     deliberately not reproduced)."""
-    result = {k: _deep_copy_cfg(v) for k, v in base.items()}
-    for key, value in override.items():
-        if key in result and isinstance(result[key], dict) and isinstance(value, dict):
-            result[key] = merge_configs(result[key], value)
+    result = {}
+    for key, value in base.items():
+        if key in override and isinstance(value, dict) and isinstance(override[key], dict):
+            result[key] = merge_configs(value, override[key])
         else:
+            result[key] = _deep_copy_cfg(value)
+    for key, value in override.items():
+        if not (key in base and isinstance(base[key], dict) and isinstance(value, dict)):
             result[key] = _deep_copy_cfg(value)
     return result
 

@@ -140,22 +140,38 @@ def get_model(name: str = "stub-token-classifier",
     return model
 
 
-def _predict_batch(doc_keys, token_lists):
+def _predict_batch(doc_keys, token_lists,
+                   model_name: str = "stub-token-classifier",
+                   device: str = "auto"):
     """The model seam: routes through the per-process lazy singleton; swap
     _StubTokenClassifier for a real batched forward pass (torch.no_grad,
     padded batch) in deployment."""
-    return get_model().predict(doc_keys, token_lists)
+    return get_model(model_name, device).predict(doc_keys, token_lists)
 
 
-@pandas_udf(PREDICTION)
-def token_classifier_udf(url: pd.Series, words: pd.Series) -> pd.DataFrame:
-    token_lists = [
-        [w["text"] for w in (ws if ws is not None else [])] for ws in words
-    ]
-    out = _predict_batch(url.tolist(), token_lists)
-    return pd.DataFrame(
-        {"pred_ids": [o[0] for o in out], "confidences": [o[1] for o in out]}
-    )
+def make_token_classifier_udf(model_name: str = "stub-token-classifier",
+                              device: str = "auto"):
+    """Build the M1 classifier UDF bound to a (model, device) choice. The
+    binding ships to executors in the UDF closure, so a job configured for
+    a non-default model actually RUNS that model on the workers — a config
+    that only validated driver-side while inference used hardcoded
+    defaults would be silently wrong the moment a second model is
+    allowed."""
+
+    @pandas_udf(PREDICTION)
+    def _token_classifier_udf(url: pd.Series, words: pd.Series) -> pd.DataFrame:
+        token_lists = [
+            [w["text"] for w in (ws if ws is not None else [])] for ws in words
+        ]
+        out = _predict_batch(url.tolist(), token_lists, model_name, device)
+        return pd.DataFrame(
+            {"pred_ids": [o[0] for o in out], "confidences": [o[1] for o in out]}
+        )
+
+    return _token_classifier_udf
+
+
+token_classifier_udf = make_token_classifier_udf()
 
 
 MERGED = StructType(
@@ -205,10 +221,17 @@ def entity_merge_udf(
     return pd.DataFrame(rows)
 
 
-def model_extract(df: DataFrame, words_col: str = "words") -> DataFrame:
+def model_extract(df: DataFrame, words_col: str = "words",
+                  model_name: str = "stub-token-classifier",
+                  device: str = "auto") -> DataFrame:
     """words → predictions → merged fields, two Arrow-batched stages."""
+    classifier = (
+        token_classifier_udf
+        if (model_name, device) == ("stub-token-classifier", "auto")
+        else make_token_classifier_udf(model_name, device)
+    )
     with_preds = df.withColumn(
-        "_pred", token_classifier_udf(F.col("url"), F.col(words_col))
+        "_pred", classifier(F.col("url"), F.col(words_col))
     )
     out = with_preds.withColumn(
         "_m",

@@ -67,13 +67,22 @@ def extract_from_pages(
 def with_quality_columns(results: DataFrame) -> DataFrame:
     """H10 totals verification as a data-quality column
     (field_extractor.py:327-359: all three present AND
-    |subtotal + tax − total| ≤ 0.02)."""
+    |subtotal + tax − total| ≤ 0.02).
+
+    "Present" is the reference's TRUTHINESS check (`if not all([subtotal,
+    tax, total])`): a 0.00 amount is falsy, so any zero amount verifies
+    False — matching reference_semantics.verify_totals exactly, not just
+    the null case."""
     s = F.col("subtotal.value").cast("decimal(12,2)")
     t = F.col("tax_amount.value").cast("decimal(12,2)")
     tot = F.col("total_amount.value").cast("decimal(12,2)")
-    verified = F.when(
-        s.isNull() | t.isNull() | tot.isNull(), F.lit(False)
-    ).otherwise(F.abs((s + t) - tot) <= F.lit(0.02))
+    absent = (
+        s.isNull() | t.isNull() | tot.isNull()
+        | (s == 0) | (t == 0) | (tot == 0)
+    )
+    verified = F.when(absent, F.lit(False)).otherwise(
+        F.abs((s + t) - tot) <= F.lit(0.02)
+    )
     return results.withColumn("totals_verified", verified)
 
 
@@ -137,13 +146,16 @@ def normalize_stage(words_df: DataFrame) -> DataFrame:
     )
 
 
-def infer_stage(normalized_df: DataFrame) -> DataFrame:
+def infer_stage(normalized_df: DataFrame,
+                model_name: str = "stub-token-classifier",
+                device: str = "auto") -> DataFrame:
     """Phase 3 (the reference `inference` command analog): normalized words
     → model token classification (M1, stubbed) → BIO merge (M2/M3) →
-    model-first merge with heuristic backfill (H12)."""
+    model-first merge with heuristic backfill (H12). The (model, device)
+    choice ships to executors inside the classifier UDF closure."""
     from ..operators.model_infer import model_extract
 
-    df = model_extract(normalized_df)
+    df = model_extract(normalized_df, model_name=model_name, device=device)
     return df.select(
         "url",
         "extracted_text",
@@ -152,7 +164,11 @@ def infer_stage(normalized_df: DataFrame) -> DataFrame:
     )
 
 
-def extract_from_pages_with_model(pages: DataFrame) -> DataFrame:
+def extract_from_pages_with_model(
+    pages: DataFrame,
+    model_name: str = "stub-token-classifier",
+    device: str = "auto",
+) -> DataFrame:
     """The reference's FULL pipeline shape (skip_model=False,
     receipt_processor.py:156-219): parse → 0-1000 normalize → model token
     classification (M1, stubbed) → BIO merge (M2/M3) → model-first merge
@@ -162,7 +178,7 @@ def extract_from_pages_with_model(pages: DataFrame) -> DataFrame:
     (description/confidence/box — quantities only come from the heuristic
     fallback, matching the reference's model-path output).
     """
-    return infer_stage(normalize_stage(parse_stage(pages)))
+    return infer_stage(normalize_stage(parse_stage(pages)), model_name, device)
 
 
 def validate_against_golden(results: DataFrame, golden: DataFrame) -> DataFrame:

@@ -68,4 +68,23 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # getOrCreate returns the live session and DROPS every builder
+        # conf: session-level settings (shuffle partitions, scan split
+        # size, app name) requested now will NOT take effect. Warn instead
+        # of failing — in-process callers (tests, notebooks) share one
+        # session on purpose — but never silently.
+        import logging
+
+        requested = {
+            "shuffle_partitions": shuffle_partitions,
+            **(extra_conf or {}),
+        }
+        logging.getLogger(__name__).warning(
+            "get_spark: an active SparkSession already exists; builder "
+            "confs are ignored by getOrCreate (requested: %s). Stop the "
+            "session first if these must apply.",
+            requested,
+        )
     return builder.getOrCreate()

@@ -43,10 +43,16 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
     parser.add_argument("--buckets", type=int, default=None)
     parser.add_argument("--mode", choices=("heuristic", "model"),
                         default=None)
-    parser.add_argument("--entry-c", action="store_true", default=None,
+    # BooleanOptionalAction: every boolean knob gets an explicit negative
+    # (--no-entry-c / --no-resume / --no-stats), so a config file setting
+    # one true can always be overridden back from the command line
+    parser.add_argument("--entry-c", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="entry-C quirk-compatible kernel twin")
-    parser.add_argument("--no-resume", action="store_true", default=None)
-    parser.add_argument("--stats", action="store_true", default=None,
+    parser.add_argument("--resume", action=argparse.BooleanOptionalAction,
+                        default=None)
+    parser.add_argument("--stats", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="collect skip/count stats (extra scans)")
     parser.add_argument("--debug-samples", type=int, default=None,
                         help="write N-row per-stage debug samples next to"
@@ -61,7 +67,7 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
     buckets = args.buckets if args.buckets is not None else job_cfg["buckets"]
     mode = args.mode if args.mode is not None else job_cfg["mode"]
     entry_c = args.entry_c if args.entry_c is not None else ext_cfg["entry_c"]
-    resume = (not args.no_resume) if args.no_resume is not None else job_cfg["resume"]
+    resume = args.resume if args.resume is not None else job_cfg["resume"]
     stats_on = args.stats if args.stats is not None else job_cfg["stats"]
     debug_samples = (
         args.debug_samples
@@ -97,10 +103,19 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
         extra_conf=extra_conf or None,
     )
     if mode == "model":
-        # M8 allow-list + device resolution, driver-side, before any work
-        # (reference commands.py:476-494 validates the model up front)
+        # M8 allow-list + model-type + device validation, driver-side,
+        # before any work (reference commands.py:476-494 validates the
+        # model up front); the same (name, device) is then BOUND into the
+        # inference UDF below, so the executors run exactly what was
+        # validated
         from documentprocessor_spark.operators.model_infer import get_model
 
+        model_type = cfg["model"]["type"]
+        if model_type not in ("donut", "idefics2", "layoutlmv3"):
+            raise SystemExit(
+                f"unsupported model.type {model_type!r}; "
+                "allowed: donut, idefics2, layoutlmv3"
+            )
         get_model(cfg["model"]["name_or_path"], cfg["model"]["device"])
     pages = read_pages(spark, args.input, fmt)
 
@@ -116,7 +131,10 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
             else (lambda p, n: extract_from_pages(p, n, entry_c=True))
         )
     else:
-        base_extractor = lambda p, n: extract_from_pages_with_model(p)  # noqa: E731
+        m_name, m_dev = cfg["model"]["name_or_path"], cfg["model"]["device"]
+        base_extractor = (  # noqa: E731
+            lambda p, n: extract_from_pages_with_model(p, m_name, m_dev)
+        )
 
     # extraction.apply_quality: opt-in H11 confidence filter + H10 totals
     # verification on the committed rows (SURVEY §8.7 — defined by the
@@ -133,8 +151,13 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
         verify = ext_cfg["verify_totals"]
 
         def extractor(p, n):
-            out = confidence_filter(inner(p, n), min_confidence=min_conf)
-            return with_quality_columns(out) if verify else out
+            # H10 verifies the RAW extracted amounts (the reference's
+            # verify_totals input), BEFORE the H11 filter nulls low-
+            # confidence fields — same order q_h10_h11_quality certifies
+            out = inner(p, n)
+            if verify:
+                out = with_quality_columns(out)
+            return confidence_filter(out, min_confidence=min_conf)
 
     else:
         extractor = base_extractor

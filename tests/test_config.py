@@ -339,3 +339,90 @@ def test_debug_samples_off_writes_nothing(spark, pages_parquet, tmp_path):
         n_buckets=4, collect_stats=False,
     )
     assert not os.path.exists(f"{out}/debug")
+
+
+def test_quality_zero_amount_verifies_false(spark):
+    """H10 'present' is the reference's TRUTHINESS check: tax of 0.00 must
+    verify False (ref_sem.verify_totals: Decimal('0.00') is falsy), not
+    slip through a null-only check."""
+    from documentprocessor_spark.plans.pipeline import with_quality_columns
+    from documentprocessor_spark.reference_semantics import verify_totals
+    from decimal import Decimal
+
+    rows = [
+        (1, "10.00", "0.00", "10.00"),   # zero tax -> False
+        (2, "10.00", "1.00", "11.00"),   # consistent -> True
+        (3, "10.00", "1.00", "12.00"),   # off by 1.00 -> False
+        (4, None, "1.00", "11.00"),      # missing -> False
+    ]
+    df = spark.createDataFrame(
+        [
+            (i,) + tuple(
+                {"value": v, "confidence": 0.9, "box": None} for v in (s, t, tot)
+            )
+            for i, s, t, tot in rows
+        ],
+        "doc_id int, subtotal struct<value:string,confidence:double,box:struct<x0:int,y0:int,x1:int,y1:int>>, "
+        "tax_amount struct<value:string,confidence:double,box:struct<x0:int,y0:int,x1:int,y1:int>>, "
+        "total_amount struct<value:string,confidence:double,box:struct<x0:int,y0:int,x1:int,y1:int>>",
+    )
+    got = {r.doc_id: r.totals_verified
+           for r in with_quality_columns(df).collect()}
+    assert got == {1: False, 2: True, 3: False, 4: False}
+    # and the pure twin agrees case-by-case
+    for i, s, t, tot in rows:
+        dec = lambda x: Decimal(x) if x is not None else None
+        assert verify_totals(dec(s), dec(t), dec(tot)) == got[i], i
+
+
+def test_quality_verified_before_confidence_filter(spark):
+    """The job's apply_quality composition verifies RAW amounts first: a
+    consistent receipt extracted at low confidence keeps
+    totals_verified=True even though H11 then nulls the fields."""
+    from documentprocessor_spark.plans.pipeline import (
+        confidence_filter,
+        with_quality_columns,
+    )
+
+    from documentprocessor_spark.schemas import SCALAR_FIELDS
+
+    fld = "struct<value:string,confidence:double,box:struct<x0:int,y0:int,x1:int,y1:int>>"
+    values = {"subtotal": "10.00", "tax_amount": "1.00", "total_amount": "11.00"}
+    df = spark.createDataFrame(
+        [
+            (1,)
+            + tuple(
+                {"value": values.get(n, "x"), "confidence": 0.3, "box": None}
+                for n in SCALAR_FIELDS
+            )
+        ],
+        "doc_id int, " + ", ".join(f"{n} {fld}" for n in SCALAR_FIELDS),
+    )
+    out = confidence_filter(with_quality_columns(df), min_confidence=0.9)
+    row = out.collect()[0]
+    assert row.totals_verified is True     # verified on the raw values
+    assert row.subtotal is None            # then filtered by confidence
+
+
+def test_cli_no_entry_c_overrides_config(spark, pages_parquet, tmp_path, capsys):
+    """--no-entry-c must beat a config file's entry_c: true — otherwise a
+    shared heuristic config makes --mode model permanently unrunnable."""
+    cfgp = tmp_path / "job.yaml"
+    cfgp.write_text("extraction:\n  entry_c: true\n")
+    out = str(tmp_path / "out")
+    _run_job_cli(spark, [
+        "--input", pages_parquet, "--output", out, "--config", str(cfgp),
+        "--mode", "model", "--no-entry-c",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_total_committed"] == 40
+
+
+def test_model_type_validated(spark, pages_parquet, tmp_path):
+    cfgp = tmp_path / "job.yaml"
+    cfgp.write_text("model:\n  type: gpt-neo\njob:\n  mode: model\n")
+    with pytest.raises(SystemExit, match="model.type"):
+        _run_job_cli(spark, [
+            "--input", pages_parquet, "--output", str(tmp_path / "out"),
+            "--config", str(cfgp),
+        ])
