@@ -63,3 +63,60 @@ def read_results(
     if tolerate_corrupt:
         reader = reader.option("ignoreCorruptFiles", "true")
     return reader.parquet(path)
+
+
+def compact_results(
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int = 1,
+    partition_col: str = "url_bucket",
+) -> dict:
+    """Small-file compaction of the append-mode results lake — the
+    maintenance job a 100 TB deployment runs continuously (every resumed
+    ``run_job`` appends one file-set per bucket, so a long-lived table
+    accretes thousands of tiny files per partition and scan listing/open
+    overhead comes to dominate).
+
+    Spark-first shape: one shuffle keyed on (partition, salt) so each
+    bucket's rows land in ``files_per_bucket`` tasks, then a
+    ``partitionBy`` write — the compacted layout is identical to the
+    original (same partition dirs, same schema, same rows, run_id column
+    preserved so manifest-based resume semantics are untouched).
+
+    Commit protocol (plain-parquet fallback): write to ``<path>.compact.tmp``,
+    verify the row count matches, then swap directories with the old data
+    kept at ``<path>.compact.bak`` until the swap completes. On Iceberg the
+    whole dance is replaced by ``rewrite_data_files`` (a snapshot commit);
+    this path exists for the sandbox's parquet layout and documents the
+    same invariant: readers never observe a partially-compacted table
+    (the swap is two renames, and a crash between them leaves either the
+    full old table at .bak or the full new one in place).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    tmp = path.rstrip("/") + ".compact.tmp"
+    bak = path.rstrip("/") + ".compact.bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+    salt = F.pmod(F.xxhash64("url"), F.lit(files_per_bucket))
+    (
+        df.repartition(F.col(partition_col), salt)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row count mismatch: {n_before} before, "
+            f"{n_after} in compacted output — original left untouched"
+        )
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+    return {"rows": n_after, "path": path}

@@ -161,3 +161,44 @@ def test_results_read_prunes_url_bucket_partitions(spark, tmp_path):
     assert _re.search(r"PartitionFilters: \[[^\]]*url_bucket", plan), plan
     # pruned read returns exactly that bucket's rows
     assert one.count() > 0
+
+
+def test_compact_results_preserves_rows_and_resume(spark, corpus_pages, tmp_path):
+    """Small-file compaction: two appended runs leave multiple files per
+    bucket; compaction collapses each bucket to one file with identical
+    rows, the same partition layout, and resume semantics untouched."""
+    import glob
+    import os
+
+    from documentprocessor_spark.sources.tables import compact_results
+
+    out = str(tmp_path / "job")
+    run_job(spark, corpus_pages.limit(30), out, n_buckets=4)
+    run_job(spark, corpus_pages, out, n_buckets=4)
+    results = f"{out}/results"
+
+    def files_per_bucket():
+        return {
+            os.path.basename(d): len(glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{results}/url_bucket=*")
+        }
+
+    before_rows = sorted(
+        spark.read.parquet(results).collect(), key=lambda r: r.url
+    )
+    assert any(n > 1 for n in files_per_bucket().values())  # fragmented
+
+    stats = compact_results(spark, results, files_per_bucket=1)
+    assert stats["rows"] == len(before_rows)
+    after = files_per_bucket()
+    assert after and all(n == 1 for n in after.values())
+    after_rows = sorted(
+        spark.read.parquet(results).collect(), key=lambda r: r.url
+    )
+    assert after_rows == before_rows
+    # no leftover tmp/bak dirs
+    assert not os.path.exists(results + ".compact.tmp")
+    assert not os.path.exists(results + ".compact.bak")
+    # resume still sees everything as committed
+    third = run_job(spark, corpus_pages, out, n_buckets=4)
+    assert third["rows_skipped_resume"] == corpus_pages.count()
