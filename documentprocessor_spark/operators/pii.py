@@ -2,6 +2,16 @@
 large-scale web-text training pipeline (emails, phone numbers, IP addresses
 scrubbed before training; cf. the C4/RefinedWeb/FineWeb processing recipes).
 
+Reference parity: the reference DECLARES phone/email patterns in its field
+extractor (``field_extractor.py:38-39``) but never wires them to any output
+(SURVEY §2.7 "never used downstream") — this module is the wired, scaled
+version of that declared surface. Its email pattern is the reference's with
+RFC-bounded quantifiers (see below — the unbounded form is quadratic on
+crawl-scale junk tokens); its phone pattern narrows the reference's
+optional-separator form to the separated shapes that are unambiguous inside
+running text (``555-123-4567`` / ``555.123.4567`` — the reference's
+``\\d{3}\\d{3}\\d{4}`` branch would clip any 10-digit number).
+
 Spark-first: pure native column expressions (`regexp_count` /
 `regexp_replace`), fully inside whole-stage codegen — a map-only stage with
 zero Python in the hot path, exactly like textstats. The patterns stick to

@@ -3523,6 +3523,109 @@ _ORACLE_PIPELINE = """
 """
 
 
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — date-ranged EXISTS semi-join counted by priority.
+    Adapted to the testdata schema (lineitem has no commit/receipt dates):
+    the lateness predicate is `l_shipdate > o_orderdate + 90 days` instead
+    of `l_commitdate < l_receiptdate`; the relational shape (quarter-range
+    scan, per-order EXISTS, priority rollup) is Q4's."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_ORACLE_Q4 = """
+    select o_orderpriority, count(*) as order_count
+    from orders
+    where o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate < timestamp '1996-04-01'
+      and exists (
+        select 1 from lineitem
+        where l_orderkey = o_orderkey
+          and l_shipdate > o_orderdate + interval 90 day
+      )
+    group by o_orderpriority
+"""
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue per customer, top 20:
+    quarter-ranged orders ⋈ returned lineitems ⋈ customer ⋈ broadcast
+    nation, revenue in exact integer cents, deterministic top-k by
+    (revenue_cents desc, custkey asc)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    rev = joined.groupBy(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    ).agg(F.sum(_disc_price_cents()).alias("rev_cents"))
+    # revenue rounding stays in EXACT integer arithmetic ((x + 50) // 100
+    # of the 1e-4-dollar units) — round(double, 2) lands on half-cent
+    # boundaries here and Spark (BigDecimal shortest-repr HALF_UP) and
+    # DuckDB (raw-binary rounding) disagree on them
+    rev2 = F.floor((F.col("rev_cents") + 50) / 100)
+    return (
+        rev.orderBy(F.col("rev_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (rev2 / 100.0).alias("revenue"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+_ORACLE_Q10 = """
+    with rev as (
+        select c_custkey, c_name, c_acctbal, n_name,
+            sum(cast(round(l_extendedprice * 100) as bigint)
+                * (100 - cast(round(l_discount * 100) as bigint))) as rev_cents
+        from lineitem
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        join nation on c_nationkey = n_nationkey
+        where l_returnflag = 'R'
+          and o_orderdate >= timestamp '1996-01-01'
+          and o_orderdate < timestamp '1996-04-01'
+        group by c_custkey, c_name, c_acctbal, n_name
+    )
+    select c_custkey, c_name,
+        -- exact integer half-up at the cent, then one exact division (see
+        -- the Spark side: round(double,2) diverges on half-cents)
+        cast((rev_cents + 50) // 100 as double) / 100.0 as revenue,
+        round(c_acctbal, 2) as acctbal,
+        n_name
+    from rev
+    order by rev_cents desc, c_custkey asc
+    limit 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops, round 3: PII redaction, deterministic
 # sampling, sequence packing, contamination, per-group percentiles
@@ -3882,6 +3985,8 @@ QUERIES = {
     "tpch_q3_top_revenue": q_top_revenue_orders,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
+    "tpch_q4_order_priority": q_tpch_q4_order_priority,
+    "tpch_q10_returned_items": q_tpch_q10_returned_items,
 }
 
 ORACLES = {
@@ -3894,6 +3999,8 @@ ORACLES = {
     "s5_s6_json_roundtrip": _ORACLE_S5_S6,
     "read_results_evolution": _ORACLE_READ_RESULTS,
     "entry_c_currency": _ORACLE_ENTRY_C,
+    "tpch_q4_order_priority": _ORACLE_Q4,
+    "tpch_q10_returned_items": _ORACLE_Q10,
     "pii_redaction": _ORACLE_PII,
     "deterministic_sampling": _ORACLE_SAMPLING,
     "pack_sequences": _ORACLE_PACKING,
