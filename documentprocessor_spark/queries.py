@@ -3523,6 +3523,54 @@ _ORACLE_PIPELINE = """
 """
 
 
+def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (the stateful merging
+    session window, distinct machinery from h8's lag+cumsum formulation)
+    certified against the relational lag-gap-cumsum oracle: per user,
+    session count, event total, and the largest session. Boundary
+    semantics probed before writing the oracle: a gap of EXACTLY the gap
+    duration stays in-session (split on strict >), matching h8. NTZ
+    timestamps throughout — session_window on NTZ does no tz conversion,
+    so the oracle's epoch_us arithmetic is tz-independent."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n_ev"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_session_events"),
+    )
+
+
+_ORACLE_SESSION_WINDOW = """
+    with marked as (
+        select user_id, ts,
+            case when lag(ts) over (partition by user_id order by ts) is null
+                 or epoch_us(ts) - epoch_us(lag(ts) over (
+                        partition by user_id order by ts)) > 30 * 60 * 1000000
+                 then 1 else 0 end as new_session
+        from events
+        where ts is not null
+    ),
+    sessions as (
+        select user_id,
+            sum(new_session) over (partition by user_id order by ts
+                rows unbounded preceding) as session_id
+        from marked
+    ),
+    per_session as (
+        select user_id, session_id, count(*) as n_ev
+        from sessions group by user_id, session_id
+    )
+    select user_id,
+        count(*) as n_sessions,
+        cast(sum(n_ev) as bigint) as n_events,
+        cast(max(n_ev) as bigint) as max_session_events
+    from per_session group by user_id
+"""
+
+
 def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape — date-ranged EXISTS semi-join counted by priority.
     Adapted to the testdata schema (lineitem has no commit/receipt dates):
@@ -3931,6 +3979,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "contamination_check": q_contamination_check,
     "lang_token_percentiles": q_lang_token_percentiles,
+    "session_window_events": q_session_window_events,
     # r02-certified, unique certifying row for their op — stay in window
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "o4_normalize_boxes": q_o4_normalize,
@@ -3947,7 +3996,6 @@ QUERIES = {
     "p_ops_image_math": q_p_ops_image_math,
     "p_ops_filter_chain": q_p_ops_filter_chain,
     "multimodal_features": q_multimodal_features,
-    "video_frame_sample": q_video_frame_sample,
     "warc_ingest": q_warc_ingest,
     "pdf_extract": q_pdf_extract,
     "repetition_stats": q_repetition_stats,
@@ -3981,6 +4029,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "m6_idefics_parse": q_m6_idefics_parse,
     "audio_features": q_audio_features,
+    "video_frame_sample": q_video_frame_sample,
     "tpch_q1_pricing_summary": q_pricing_summary,
     "tpch_q3_top_revenue": q_top_revenue_orders,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
@@ -4006,6 +4055,7 @@ ORACLES = {
     "pack_sequences": _ORACLE_PACKING,
     "contamination_check": _ORACLE_CONTAMINATION,
     "lang_token_percentiles": _ORACLE_PERCENTILES,
+    "session_window_events": _ORACLE_SESSION_WINDOW,
     "m1_token_classifier": _ORACLE_M1,
     "h9_line_items": _ORACLE_H9,
     "h10_h11_quality": _ORACLE_H10_H11,
