@@ -202,3 +202,22 @@ def test_compact_results_preserves_rows_and_resume(spark, corpus_pages, tmp_path
     # resume still sees everything as committed
     third = run_job(spark, corpus_pages, out, n_buckets=4)
     assert third["rows_skipped_resume"] == corpus_pages.count()
+
+
+def test_maintenance_job_cli_compacts(spark, corpus_pages, tmp_path, capsys):
+    import glob
+    import json as _json
+    import os
+
+    from jobs.maintenance_job import main
+
+    out = str(tmp_path / "job")
+    run_job(spark, corpus_pages.limit(30), out, n_buckets=4)
+    run_job(spark, corpus_pages, out, n_buckets=4)
+    results = f"{out}/results"
+    n_before = spark.read.parquet(results).count()
+    main(["compact", "--path", results], stop_session=False)
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == n_before
+    for d in glob.glob(f"{results}/url_bucket=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, os.path.basename(d)
