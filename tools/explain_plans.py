@@ -105,6 +105,18 @@ COMMENTARY = {
         "(MB-scale vs TB-scale — the TB side never shuffles to join); one "
         "Exchange for the per-doc aggregate."
     ),
+    "session_window_events": (
+        "Native stateful session windows: one Exchange on user_id, the "
+        "session merge inside the dedicated SessionWindow/Aggregate nodes, "
+        "then the per-user rollup reuses the same partitioning (no second "
+        "shuffle)."
+    ),
+    "tpch_q10_returned_items": (
+        "Q10: returnflag filter pushed to the lineitem scan, nation "
+        "broadcast, orders⋈lineitem⋈customer shuffle on their keys, "
+        "TakeOrderedAndProject for the top-20 (no global sort); revenue in "
+        "exact integer cents with integer half-up rounding."
+    ),
 }
 
 KEYS = (
