@@ -86,6 +86,20 @@ def fake_token_classifier(tokens: list[str], doc_key: str) -> tuple[list[int], l
 # sandbox); the loading/caching machinery is real and test-pinned.
 
 ALLOWED_MODELS = ("stub-token-classifier",)
+# The reference's three model architectures (get_processor factory,
+# commands.py / SURVEY §2.4 M7) — the model.type config key validates
+# against this ONE list so every CLI shares it.
+ALLOWED_MODEL_TYPES = ("donut", "idefics2", "layoutlmv3")
+
+
+def validate_model_type(model_type: str) -> None:
+    """M7/M8 model-type allow-list check (raise the reference's ValueError
+    shape on unknown types)."""
+    if model_type not in ALLOWED_MODEL_TYPES:
+        raise ValueError(
+            f"unsupported model.type {model_type!r}; "
+            f"allowed: {list(ALLOWED_MODEL_TYPES)}"
+        )
 _MODEL_REGISTRY: dict[tuple[str, str], "_StubTokenClassifier"] = {}
 
 

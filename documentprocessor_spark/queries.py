@@ -4013,8 +4013,15 @@ QUERIES = {
     # another in-window row (blas/lsh variants, S3 base64 twin, minhash
     # signatures inside band-pairs, h1-h6 kernels inside the in-window
     # flagship pipeline row), or its r02 green row stands (TPC-H
-    # q1/q3/q5/q17, h5, simhash, m6, audio, and rows-only h13 whose check
-    # is identical wherever it runs)
+    # q1/q3/q5/q17, h5, simhash, m6, audio, video_frame_sample — whose
+    # multimodal plumbing keeps the in-window multimodal_features row —
+    # and rows-only h13 whose check is identical wherever it runs).
+    # tpch_q4/q10 are NEW local-only breadth rows, a documented trade-off:
+    # the window's 50 slots went to ops with no certification of any kind
+    # (pii/sampling/packing/contamination/percentiles/session_window/
+    # read_results/entry_c), while q4/q10 re-exercise join+agg shapes the
+    # gate already certifies via q1/q3/q5/q17/q18 and are green against
+    # their oracles at sf0.001/0.01/0.1 locally (tools/check_contract.py)
     "h1_vendor_top3": q_h1_vendor_top3,
     "h2_keyword_window": q_h2_keyword_window,
     "h3_subtotal_window": q_h3_subtotal_window,

@@ -68,13 +68,21 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        # getOrCreate returns the live session and DROPS every builder
-        # conf: session-level settings (shuffle partitions, scan split
-        # size, app name) requested now will NOT take effect. Warn instead
-        # of failing — in-process callers (tests, notebooks) share one
-        # session on purpose — but never silently.
+    # getOrCreate with a live session is a shared-session trap, so warn
+    # (never silently): pyspark applies the MODIFIABLE SQL confs from this
+    # builder (shuffle partitions, maxPartitionBytes, session timeZone) to
+    # the EXISTING session — mutating it for every other user of that
+    # session — while static/builder-only settings (master, app name,
+    # driver memory, warehouse dir) are ignored. In-process callers
+    # (tests, notebooks) sharing one session is intentional; callers that
+    # need a cleanly-configured session must stop the live one first.
+    # NOTE: getOrCreate keys on the process-wide instantiated session, not
+    # the thread-local active one — check the same scope.
+    existing = (
+        SparkSession.getActiveSession()
+        or getattr(SparkSession, "_instantiatedSession", None)
+    )
+    if existing is not None:
         import logging
 
         requested = {
@@ -82,9 +90,10 @@ def get_spark(
             **(extra_conf or {}),
         }
         logging.getLogger(__name__).warning(
-            "get_spark: an active SparkSession already exists; builder "
-            "confs are ignored by getOrCreate (requested: %s). Stop the "
-            "session first if these must apply.",
+            "get_spark: a SparkSession already exists; getOrCreate will "
+            "APPLY modifiable SQL confs from this call to the shared "
+            "session (mutating it for all its users) and IGNORE static "
+            "settings like master/app_name (requested: %s).",
             requested,
         )
     return builder.getOrCreate()

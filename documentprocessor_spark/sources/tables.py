@@ -96,10 +96,19 @@ def compact_results(
 
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
-    n_before = df.count()
     tmp = path.rstrip("/") + ".compact.tmp"
     bak = path.rstrip("/") + ".compact.bak"
+    # crash recovery: a previous compaction killed BETWEEN the two swap
+    # renames leaves the table only at .bak — restore it before anything
+    # else (readers/resume would otherwise fail until a human intervened)
+    if not os.path.exists(path) and os.path.exists(bak):
+        os.rename(bak, path)
+    # mergeSchema read: the lake is schema-evolved by design
+    # (read_results/COVERAGE 'read_results_evolution'); a single-footer
+    # read here would silently drop newer generations' columns from the
+    # compacted output — permanent data loss the row-count check cannot see
+    df = read_results(spark, path, merge_schema=True)
+    n_before = df.count()
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(bak, ignore_errors=True)
     salt = F.pmod(F.xxhash64("url"), F.lit(files_per_bucket))

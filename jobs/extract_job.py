@@ -108,14 +108,15 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
         # model up front); the same (name, device) is then BOUND into the
         # inference UDF below, so the executors run exactly what was
         # validated
-        from documentprocessor_spark.operators.model_infer import get_model
+        from documentprocessor_spark.operators.model_infer import (
+            get_model,
+            validate_model_type,
+        )
 
-        model_type = cfg["model"]["type"]
-        if model_type not in ("donut", "idefics2", "layoutlmv3"):
-            raise SystemExit(
-                f"unsupported model.type {model_type!r}; "
-                "allowed: donut, idefics2, layoutlmv3"
-            )
+        try:
+            validate_model_type(cfg["model"]["type"])
+        except ValueError as e:
+            raise SystemExit(f"model.type: {e}") from e
         get_model(cfg["model"]["name_or_path"], cfg["model"]["device"])
     pages = read_pages(spark, args.input, fmt)
 

@@ -221,3 +221,57 @@ def test_maintenance_job_cli_compacts(spark, corpus_pages, tmp_path, capsys):
     assert stats["rows"] == n_before
     for d in glob.glob(f"{results}/url_bucket=*"):
         assert len(glob.glob(f"{d}/*.parquet")) == 1, os.path.basename(d)
+
+
+def test_compact_results_preserves_evolved_schema(spark, tmp_path):
+    """Compaction of a schema-evolved lake must keep columns that exist
+    only in newer-generation files (a single-footer read would silently
+    drop them — permanent data loss the row-count check cannot see)."""
+    from pyspark.sql import functions as F2
+
+    from documentprocessor_spark.sources.tables import (
+        compact_results,
+        read_results,
+    )
+
+    path = str(tmp_path / "results")
+    gen1 = spark.range(0, 10).select(
+        F2.concat(F2.lit("u"), "id").alias("url"),
+        F2.lit("r1").alias("run_id"),
+        (F2.col("id") % 4).cast("int").alias("url_bucket"),
+    )
+    gen1.write.mode("append").partitionBy("url_bucket").parquet(path)
+    gen2 = spark.range(10, 20).select(
+        F2.concat(F2.lit("u"), "id").alias("url"),
+        F2.lit("r2").alias("run_id"),
+        (F2.col("id") % 4).cast("int").alias("url_bucket"),
+        (F2.col("id") * 2).alias("extra"),
+    )
+    gen2.write.mode("append").partitionBy("url_bucket").parquet(path)
+
+    compact_results(spark, path)
+    back = read_results(spark, path, merge_schema=True)
+    assert "extra" in back.columns
+    assert back.filter("extra is not null").count() == 10
+    assert back.count() == 20
+
+
+def test_compact_results_recovers_from_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the table only at .bak;
+    the next compaction must restore it instead of failing forever."""
+    import os
+
+    from documentprocessor_spark.sources.tables import compact_results
+
+    path = str(tmp_path / "results")
+    df = spark.range(0, 12).selectExpr(
+        "concat('u', id) as url", "'r1' as run_id",
+        "cast(id % 3 as int) as url_bucket",
+    )
+    df.write.mode("append").partitionBy("url_bucket").parquet(path)
+    # simulate the crash window: table renamed to .bak, new table never moved
+    os.rename(path, path + ".compact.bak")
+    stats = compact_results(spark, path)
+    assert stats["rows"] == 12
+    assert spark.read.parquet(path).count() == 12
+    assert not os.path.exists(path + ".compact.bak")

@@ -113,9 +113,12 @@ COMMENTARY = {
     ),
     "tpch_q10_returned_items": (
         "Q10: returnflag filter pushed to the lineitem scan, nation "
-        "broadcast, orders⋈lineitem⋈customer shuffle on their keys, "
-        "TakeOrderedAndProject for the top-20 (no global sort); revenue in "
-        "exact integer cents with integer half-up rounding."
+        "broadcast, TakeOrderedAndProject for the top-20 (no global "
+        "sort); revenue in exact integer cents with integer half-up "
+        "rounding. At this SF AQE broadcasts the whole orders⋈lineitem⋈"
+        "customer spine (every join below is BroadcastHashJoin); at scale "
+        "those sides exceed the broadcast threshold and shuffle on their "
+        "keys instead — decided at runtime."
     ),
 }
 
