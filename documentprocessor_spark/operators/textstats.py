@@ -172,3 +172,49 @@ assert BPE_TOKEN_PATTERN != _SUBTOKEN_RE  # the derivation must keep biting
 def subword_count_col(text: Column) -> Column:
     """Count of BPE-ish pretokens — native regexp_count, codegen'd."""
     return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, the public C4 recipe):
+# keep only lines that end in terminal punctuation AND have >= 5 words;
+# drop whole documents containing code braces or the "lorem ipsum"
+# placeholder, or retaining < 3 lines after the line filter. Everything is
+# native higher-order functions (filter/transform/size over the split
+# array) — scan → project, zero shuffle, zero Python, same 100 TB shape as
+# the Gopher repetition filters above.
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_LINES_PER_DOC = 3
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_kept_lines_col(text: Column) -> Column:
+    """array<string> of the lines surviving the C4 line filter."""
+    lines = F.split(text, "\n")
+    def keep(line: Column) -> Column:
+        trimmed = F.trim(line)
+        terminal = F.substring(trimmed, -1, 1)
+        return (
+            terminal.isin(*C4_TERMINAL_PUNCT)
+            & (F.size(F.split(trimmed, " +")) >= C4_MIN_WORDS_PER_LINE)
+        )
+    return F.filter(lines, keep)
+
+
+def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the C4 line-filter outputs: ``text_clean`` (kept lines
+    re-joined), ``n_lines_kept``, and the document-level ``c4_keep`` flag
+    (no code braces, no lorem-ipsum placeholder, >= 3 surviving lines)."""
+    text = F.col(text_col)
+    kept = c4_kept_lines_col(text)
+    return df.select(
+        "*",
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(kept).alias("n_lines_kept"),
+        (
+            ~F.contains(text, F.lit("{"))
+            & ~F.contains(F.lower(text), F.lit("lorem ipsum"))
+            & (F.size(kept) >= C4_MIN_LINES_PER_DOC)
+        ).alias("c4_keep"),
+    )

@@ -3523,6 +3523,101 @@ _ORACLE_PIPELINE = """
 """
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning through the REAL operator
+    (textstats.c4_clean — native filter/transform, map-only): documents are
+    re-laid-out as deterministic multi-line pages (6-token lines; every
+    (i+doc)%4==0 line truncated to 2 words, every (i+doc)%3==0 line left
+    without terminal punctuation — exercising both line rules), docs with
+    doc_id%13==0 get a code-brace line and %17==0 a lorem-ipsum line
+    (exercising both document rules). The oracle rebuilds the identical
+    layout and replays the identical predicates with DuckDB list lambdas."""
+    from .operators.textstats import c4_clean
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.floor(F.size(toks) / 6).cast("int")
+
+    def line(i):
+        ln = F.when((i + d) % 4 == 0, F.lit(2)).otherwise(F.lit(6))
+        base = F.array_join(F.slice(toks, i * 6 + 1, ln), " ")
+        return F.concat(
+            base,
+            F.when((i + d) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        )
+
+    lines = F.when(
+        n_lines >= 1, F.transform(F.sequence(F.lit(0), n_lines - 1), line)
+    ).otherwise(F.array().cast("array<string>"))
+    extra = (
+        F.when(d % 13 == 0, F.array(F.lit("broken code { here }")))
+        .when(d % 17 == 0, F.array(F.lit("Lorem Ipsum dolor sit amet.")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    salted = docs.select(
+        "doc_id", F.array_join(F.concat(lines, extra), "\n").alias("text")
+    )
+    out = c4_clean(salted)
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        "c4_keep",
+        F.sha2(F.col("text_clean"), 256).alias("clean_sha"),
+    )
+
+
+_ORACLE_C4 = """
+    with t as (
+        select doc_id, string_split(text, ' ') as toks,
+            cast(floor(len(string_split(text, ' ')) / 6) as int) as n_lines
+        from documents
+    ),
+    lines as (
+        select doc_id, i,
+            list_aggr(toks[i * 6 + 1 :
+                i * 6 + (case when (i + doc_id) % 4 = 0 then 2 else 6 end)],
+                'string_agg', ' ')
+            || case when (i + doc_id) % 3 <> 0 then '.' else '' end as line
+        from t, lateral unnest(range(n_lines)) as u(i)
+    ),
+    body as (
+        select t.doc_id,
+            coalesce(string_agg(l.line, chr(10) order by l.i), '') as b
+        from t left join lines l using (doc_id)
+        group by t.doc_id
+    ),
+    full_docs as (
+        select doc_id,
+            b || case
+                when doc_id % 13 = 0 then
+                    (case when b = '' then '' else chr(10) end)
+                    || 'broken code { here }'
+                when doc_id % 17 = 0 then
+                    (case when b = '' then '' else chr(10) end)
+                    || 'Lorem Ipsum dolor sit amet.'
+                else '' end as full_text
+        from body
+    ),
+    cleaned as (
+        select doc_id, full_text,
+            list_filter(string_split(full_text, chr(10)), l ->
+                right(trim(l), 1) in ('.', '!', '?', '"')
+                and len(string_split_regex(trim(l), ' +')) >= 5
+            ) as kept
+        from full_docs
+    )
+    select doc_id,
+        cast(len(kept) as int) as n_lines_kept,
+        (not contains(full_text, '{'))
+            and (not contains(lower(full_text), 'lorem ipsum'))
+            and len(kept) >= 3 as c4_keep,
+        sha256(coalesce(list_aggr(kept, 'string_agg', chr(10)), ''))
+            as clean_sha
+    from cleaned
+"""
+
+
 def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window operator (the stateful merging
     session window, distinct machinery from h8's lag+cumsum formulation)
@@ -3980,6 +4075,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "lang_token_percentiles": q_lang_token_percentiles,
     "session_window_events": q_session_window_events,
+    "c4_line_filter": q_c4_line_filter,
     # r02-certified, unique certifying row for their op — stay in window
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "o4_normalize_boxes": q_o4_normalize,
@@ -4001,7 +4097,6 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
-    "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
     "text_stats": q_text_stats,
@@ -4028,6 +4123,8 @@ QUERIES = {
     "h4_tax_window": q_h4_tax_window,
     "h6_date_regex": q_h6_date_regex,
     "h13_bucket_distribution": q_h13_bucket_distribution,
+    # exact dedup also runs inside the in-window curate_documents plan
+    "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_dedup_minhash,
     "cosine_topk_blas": q_cosine_topk_blas,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -4063,6 +4160,7 @@ ORACLES = {
     "contamination_check": _ORACLE_CONTAMINATION,
     "lang_token_percentiles": _ORACLE_PERCENTILES,
     "session_window_events": _ORACLE_SESSION_WINDOW,
+    "c4_line_filter": _ORACLE_C4,
     "m1_token_classifier": _ORACLE_M1,
     "h9_line_items": _ORACLE_H9,
     "h10_h11_quality": _ORACLE_H10_H11,

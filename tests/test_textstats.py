@@ -84,3 +84,45 @@ def test_repetition_stats_plan_is_map_only(spark):
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero shuffle: the 100 TB pass is map-only
     assert "Python" not in plan    # native higher-order functions only
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    from documentprocessor_spark.operators.textstats import c4_clean
+
+    good = "this line has five words."
+    docs = [
+        # 3 good lines -> kept doc
+        (1, "\n".join([good, "another line with five words!", 'quoted line of five words"'])),
+        # line without terminal punct dropped; only 2 survive -> doc dropped
+        (2, "\n".join([good, good, "no terminal punctuation here at all"])),
+        # short line dropped (4 words)
+        (3, "\n".join([good, good, "only four words here."])),
+        # code brace kills the doc even with 3 good lines
+        (4, "\n".join([good, good, good, "func() { return }"])),
+        # lorem ipsum kills the doc (case-insensitive)
+        (5, "\n".join([good, good, good, "Lorem IPSUM dolor sit amet."])),
+        (6, ""),  # empty doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.doc_id: (r.n_lines_kept, r.c4_keep, r.text_clean)
+           for r in c4_clean(df).collect()}
+    assert got[1][0] == 3 and got[1][1] is True
+    assert got[2][0] == 2 and got[2][1] is False
+    assert got[3][0] == 2 and got[3][1] is False
+    assert got[4][1] is False  # brace rule
+    assert got[5][1] is False  # lorem rule (its line still counts as kept)
+    assert got[6] == (0, False, "")
+    # multi-space runs don't inflate the word count
+    df2 = spark.createDataFrame(
+        [(7, "two   words    only   here.")], "doc_id int, text string"
+    )
+    assert c4_clean(df2).collect()[0].n_lines_kept == 0
+
+
+def test_c4_clean_plan_is_map_only(spark):
+    from documentprocessor_spark.operators.textstats import c4_clean
+
+    df = spark.createDataFrame([(1, "a.\nb.")], "doc_id int, text string")
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
