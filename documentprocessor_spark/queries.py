@@ -3523,6 +3523,57 @@ _ORACLE_PIPELINE = """
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs through the REAL operator
+    (operators/graph.dedup_clusters — iterative min-label propagation,
+    localCheckpoint-truncated lineage): a deterministic edge set built
+    from doc_id arithmetic (per 10-doc block, a chain of (block%7)+2
+    nodes; every 3rd block adds a (start, start+5) edge that either
+    shortcuts the chain or merges an isolated node — chains, stars and
+    redundant edges all exercised). The oracle computes the identical
+    transitive closure with a DuckDB recursive CTE — an exact,
+    SQL-expressible twin for an ITERATIVE Spark algorithm."""
+    from .operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    blk = F.floor(d / 10)
+    off = d % 10
+    e1 = docs.where(off < (blk % 7) + 1).select(
+        d.alias("doc_a"), (d + 1).alias("doc_b")
+    )
+    e2 = docs.where((blk % 3 == 0) & (off == 0)).select(
+        d.alias("doc_a"), (d + 5).alias("doc_b")
+    )
+    return dedup_clusters(e1.union(e2))
+
+
+_ORACLE_DEDUP_CLUSTERS = """
+    with recursive
+    e1 as (
+        select doc_id as u, doc_id + 1 as v from documents
+        where doc_id % 10 < (doc_id // 10) % 7 + 1
+    ),
+    e2 as (
+        select doc_id as u, doc_id + 5 as v from documents
+        where (doc_id // 10) % 3 = 0 and doc_id % 10 = 0
+    ),
+    edges as (select u, v from e1 union select u, v from e2),
+    sym as (select u, v from edges union select v as u, u as v from edges),
+    reach(node, lbl) as (
+        select u, u from sym
+        union
+        select s.u, r.lbl from sym s join reach r on s.v = r.node
+    ),
+    comp as (
+        select node, min(lbl) as canonical_id from reach group by node
+    )
+    select node as doc_id, canonical_id,
+        count(*) over (partition by canonical_id) as cluster_size
+    from comp
+"""
+
+
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning through the REAL operator
     (textstats.c4_clean — native filter/transform, map-only): documents are
@@ -4076,10 +4127,10 @@ QUERIES = {
     "lang_token_percentiles": q_lang_token_percentiles,
     "session_window_events": q_session_window_events,
     "c4_line_filter": q_c4_line_filter,
+    "dedup_clusters": q_dedup_clusters,
     # r02-certified, unique certifying row for their op — stay in window
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "o4_normalize_boxes": q_o4_normalize,
-    "o6_subword_tokens": q_o6_subword_tokens,
     "s1_s2_binary_scan": q_s1_s2_binary_scan,
     "s4_multipage_order": q_s4_multipage_order,
     "m1_token_classifier": q_m1_token_classifier,
@@ -4125,6 +4176,9 @@ QUERIES = {
     "h13_bucket_distribution": q_h13_bucket_distribution,
     # exact dedup also runs inside the in-window curate_documents plan
     "dedup_exact": q_dedup_exact,
+    # O6 subword tokenization's box-inherit pattern is also pinned by the
+    # in-window o4 row + pytest; its r02 green row stands
+    "o6_subword_tokens": q_o6_subword_tokens,
     "dedup_minhash_signatures": q_dedup_minhash,
     "cosine_topk_blas": q_cosine_topk_blas,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -4161,6 +4215,7 @@ ORACLES = {
     "lang_token_percentiles": _ORACLE_PERCENTILES,
     "session_window_events": _ORACLE_SESSION_WINDOW,
     "c4_line_filter": _ORACLE_C4,
+    "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
     "m1_token_classifier": _ORACLE_M1,
     "h9_line_items": _ORACLE_H9,
     "h10_h11_quality": _ORACLE_H10_H11,
