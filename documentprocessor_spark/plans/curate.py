@@ -36,11 +36,22 @@ def curate_documents(
     min_quality: float = 0.3,
     minhash_k: int = 8,
     band_rows: int = 2,
+    transitive: bool = False,
 ) -> DataFrame:
     """Returns the surviving (doc_id, token-stats) rows after all filters.
 
     Output columns: doc_id, lang_id, quality_score, kept_reason-free — the
     caller joins back to the corpus for text.
+
+    ``transitive=True`` replaces the one-pass pair drop with connected
+    components over the band pairs (operators.graph.dedup_clusters):
+    exactly ONE survivor per near-dup CLUSTER. The one-pass rule drops any
+    doc directly colliding with a lower id, which can keep two docs of one
+    component when a non-minimal doc only ever collides with HIGHER ids
+    (edges (1,9),(5,9): 9 drops, 5 survives alongside 1) — the transitive
+    mode keeps only the component minimum (1). Costs the iterative CC
+    rounds on the pair graph (tiny relative to the band join: pairs only,
+    no text).
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -62,7 +73,16 @@ def curate_documents(
     pairs = dedup.minhash_candidate_pairs(
         exact, "doc_id", "text", k=minhash_k, band_rows=band_rows
     )
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    if transitive:
+        from ..operators.graph import dedup_clusters
+
+        losers = (
+            dedup_clusters(pairs)
+            .where(F.col("doc_id") != F.col("canonical_id"))
+            .select("doc_id")
+        )
+    else:
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
         exact.join(losers, "doc_id", "left_anti")
         .select("doc_id", "lang_id", "quality_score")

@@ -81,3 +81,31 @@ def test_dedup_clusters_end_to_end_with_minhash_pairs(spark):
     )
     kept_ids = {r.doc_id for r in keep.select("doc_id").collect()}
     assert {1, 10} <= kept_ids and not ({2, 3, 11} & kept_ids)
+
+
+def test_curate_transitive_keeps_one_per_component(spark):
+    """The one-pass pair drop can keep two docs of one near-dup component
+    (a non-minimal doc that only collides with HIGHER ids survives);
+    transitive mode keeps exactly the component minimum."""
+    from documentprocessor_spark.operators.dedup import minhash_candidate_pairs
+    from documentprocessor_spark.plans.curate import curate_documents
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the field every single day without stopping at all " * 3)
+    # three near-identical docs; chain shape depends on banding, so derive
+    # the expectation from the ACTUAL pair graph
+    rows = [(1, base), (5, base + " five"), (9, base + " nine")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in
+             minhash_candidate_pairs(df, "doc_id", "text").collect()}
+    assert pairs, "fixture must produce at least one near-dup pair"
+    kept_tr = {r.doc_id for r in curate_documents(
+        df, min_quality=-1.0, transitive=True).collect()}
+    # transitive: one survivor per connected component + all isolated docs
+    from documentprocessor_spark.operators.graph import connected_components
+
+    comp = {r.node: r.component for r in connected_components(
+        spark.createDataFrame(sorted(pairs), "doc_a long, doc_b long")).collect()}
+    expected = {min(n for n in comp if comp[n] == c) for c in set(comp.values())}
+    expected |= {d for d, _ in rows if d not in comp}
+    assert kept_tr == expected
