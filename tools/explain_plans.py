@@ -105,6 +105,11 @@ COMMENTARY = {
         "(MB-scale vs TB-scale — the TB side never shuffles to join); one "
         "Exchange for the per-doc aggregate."
     ),
+    "c4_line_filter": (
+        "C4 line cleaning: the whole line re-layout + filter chain is "
+        "higher-order functions inside codegen — scan → project, zero "
+        "Exchange, zero Python. Filter-shaped 100 TB pass."
+    ),
     "session_window_events": (
         "Native stateful session windows: one Exchange on user_id, the "
         "session merge inside the dedicated SessionWindow/Aggregate nodes, "
