@@ -205,8 +205,13 @@ def c4_kept_lines_col(text: Column) -> Column:
 def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the C4 line-filter outputs: ``text_clean`` (kept lines
     re-joined), ``n_lines_kept``, and the document-level ``c4_keep`` flag
-    (no code braces, no lorem-ipsum placeholder, >= 3 surviving lines)."""
-    text = F.col(text_col)
+    (no code braces, no lorem-ipsum placeholder, >= 3 surviving lines).
+
+    NULL text is treated as empty (keep=False, 0 lines, empty clean text)
+    — a NULL flag would make such rows vanish from BOTH the keep-side and
+    the reject-side filter, so kept + rejected would no longer partition
+    the input."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     kept = c4_kept_lines_col(text)
     return df.select(
         "*",

@@ -51,7 +51,10 @@ def curate_documents(
     (edges (1,9),(5,9): 9 drops, 5 survives alongside 1) — the transitive
     mode keeps only the component minimum (1). Costs the iterative CC
     rounds on the pair graph (tiny relative to the band join: pairs only,
-    no text).
+    no text) and — unlike the lazy default — EXECUTES the pipeline up
+    through the band join at CALL time (iterative algorithms checkpoint
+    and count eagerly); set session confs before calling, not between
+    construction and action.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),

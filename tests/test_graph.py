@@ -109,3 +109,15 @@ def test_curate_transitive_keeps_one_per_component(spark):
     expected = {min(n for n in comp if comp[n] == c) for c in set(comp.values())}
     expected |= {d for d, _ in rows if d not in comp}
     assert kept_tr == expected
+
+
+def test_cc_very_long_chain_converges_fast(spark):
+    """Path-halving makes convergence O(log diameter): a 60-node chain —
+    which one-hop propagation could never finish in 25 rounds — resolves
+    well inside the default budget."""
+    from documentprocessor_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(200, 259)]
+    got = connected_components(_pairs(spark, chain)).collect()
+    assert len(got) == 60
+    assert all(r.component == 200 for r in got)

@@ -126,3 +126,19 @@ def test_c4_clean_plan_is_map_only(spark):
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_c4_clean_null_text_is_rejected_not_null(spark):
+    """NULL text must yield keep=False / 0 lines, never a NULL flag that
+    drops the row from both sides of a keep/reject partition."""
+    from documentprocessor_spark.operators.textstats import c4_clean
+
+    df = spark.createDataFrame([(1, None), (2, "ok line of five words.")],
+                               "doc_id int, text string")
+    out = c4_clean(df)
+    got = {r.doc_id: (r.n_lines_kept, r.c4_keep, r.text_clean)
+           for r in out.collect()}
+    assert got[1] == (0, False, "")
+    n_kept = out.where(F.col("c4_keep")).count()
+    n_rej = out.where(~F.col("c4_keep")).count()
+    assert n_kept + n_rej == 2  # exhaustive partition
