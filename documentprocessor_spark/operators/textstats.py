@@ -223,3 +223,54 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
             & (F.size(kept) >= C4_MIN_LINES_PER_DOC)
         ).alias("c4_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style top terms per document — the keyword/topic profile stage of
+# a curation pipeline (domain tagging, topic balancing). The idf is the
+# SMOOTHED LINEAR form (N+1)/(df+1) rather than its logarithm: rankings
+# within a document are order-isomorphic for monotone idf transforms when
+# comparing like-for-like, and the log-free form keeps every score an
+# exact IEEE double of integer operands — bit-identical across engines
+# (libm ln() is NOT ulp-pinned between the JVM and C, and a last-ulp
+# difference under a rounding boundary would flip a cross-engine rank).
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, term, tf, score, rank) for each document's top-k terms by
+    tf * (N+1)/(df+1), rank deterministic via (rounded score desc, term
+    asc). Two shuffles: the document-frequency aggregate on term and the
+    per-document top-k window; the join key is the term (AQE skew-join
+    backstops stopword-heavy corpora — though high-df terms score low,
+    they still join)."""
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    terms = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.split(F.col(text_col), " +")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(doc_freq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -3523,6 +3523,52 @@ _ORACLE_PIPELINE = """
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms through the REAL operator
+    (textstats.tfidf_top_terms): tf from an explode+groupBy, document
+    frequency from a second aggregate, score = tf * (N+1)/(df+1) — the
+    log-free smoothed idf, chosen because it is an exact IEEE double of
+    integer operands on BOTH engines (libm ln() is not ulp-pinned across
+    JVM/C and a last-ulp flip under the rounding boundary would flip a
+    rank). Ranking key is the ROUNDED score with term as tie-break, per
+    the cross-engine ranking rule."""
+    from .operators.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+_ORACLE_TFIDF = """
+    with n as (select count(*) as n_docs from documents),
+    terms as (
+        select doc_id, t.term
+        from documents, lateral unnest(string_split_regex(text, ' +')) as t(term)
+        where t.term <> ''
+    ),
+    tf as (
+        select doc_id, term, count(*) as tf
+        from terms group by doc_id, term
+    ),
+    docfreq as (
+        select term, count(*) as df from tf group by term
+    ),
+    scored as (
+        select tf.doc_id, tf.term, tf.tf,
+            round(tf.tf * (cast(n.n_docs + 1 as double) / (docfreq.df + 1)), 6)
+                as score
+        from tf join docfreq using (term) cross join n
+    ),
+    ranked as (
+        select *, row_number() over (
+            partition by doc_id order by score desc, term asc) as rank
+        from scored
+    )
+    select doc_id, term, cast(tf as bigint) as tf, score,
+        cast(rank as int) as rank
+    from ranked where rank <= 3
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-dup pairs through the REAL operator
     (operators/graph.dedup_clusters — iterative min-label propagation,
@@ -4174,6 +4220,10 @@ QUERIES = {
     "h4_tax_window": q_h4_tax_window,
     "h6_date_regex": q_h6_date_regex,
     "h13_bucket_distribution": q_h13_bucket_distribution,
+    # NEW local-only breadth row (like tpch_q4/q10 below): tf/df shapes are
+    # already gate-certified via text_stats + top_part_per_supplier; green
+    # at 3 SFs locally
+    "tfidf_top_terms": q_tfidf_top_terms,
     # exact dedup also runs inside the in-window curate_documents plan
     "dedup_exact": q_dedup_exact,
     # O6 subword tokenization's box-inherit pattern is also pinned by the
@@ -4216,6 +4266,7 @@ ORACLES = {
     "session_window_events": _ORACLE_SESSION_WINDOW,
     "c4_line_filter": _ORACLE_C4,
     "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
+    "tfidf_top_terms": _ORACLE_TFIDF,
     "m1_token_classifier": _ORACLE_M1,
     "h9_line_items": _ORACLE_H9,
     "h10_h11_quality": _ORACLE_H10_H11,

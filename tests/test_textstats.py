@@ -142,3 +142,31 @@ def test_c4_clean_null_text_is_rejected_not_null(spark):
     n_kept = out.where(F.col("c4_keep")).count()
     n_rej = out.where(~F.col("c4_keep")).count()
     assert n_kept + n_rej == 2  # exhaustive partition
+
+
+def test_tfidf_top_terms_semantics(spark):
+    from documentprocessor_spark.operators.textstats import tfidf_top_terms
+
+    docs = [
+        (1, "apple apple apple banana common"),
+        (2, "banana banana cherry common"),
+        (3, "cherry dates dates common"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.score))
+    for d in by_doc:
+        by_doc[d].sort()
+    # doc 1: apple tf=3 df=1 -> 3*(4/2)=6.0 beats banana tf=1 df=2 -> 4/3
+    assert by_doc[1][0][1:] == ("apple", 3, 6.0)
+    assert by_doc[1][1][1] == "banana"
+    # 'common' (df=3) scores 4/4=1.0 — never above a rarer term of equal tf
+    assert all(term != "common" or rank == 2
+               for rank, term, *_ in by_doc[2] + by_doc[3])
+    # doc 3: dates tf=2 df=1 -> 2*(4/2)=4.0 top
+    assert by_doc[3][0][1:] == ("dates", 2, 4.0)
+    # exactly k rows per doc, ranks contiguous
+    assert all(len(v) == 2 and [r for r, *_ in v] == [1, 2]
+               for v in by_doc.values())
