@@ -195,9 +195,13 @@ def c4_kept_lines_col(text: Column) -> Column:
     def keep(line: Column) -> Column:
         trimmed = F.trim(line)
         terminal = F.substring(trimmed, -1, 1)
+        # words_col (empty tokens dropped) is decision-equivalent to the
+        # oracle's unfiltered split here: post-trim, the only divergent
+        # input is the empty line (0 vs 1 "words"), and both are < the
+        # 5-word minimum
         return (
             terminal.isin(*C4_TERMINAL_PUNCT)
-            & (F.size(F.split(trimmed, " +")) >= C4_MIN_WORDS_PER_LINE)
+            & (F.size(words_col(trimmed)) >= C4_MIN_WORDS_PER_LINE)
         )
     return F.filter(lines, keep)
 
@@ -225,15 +229,30 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def words_col(text: Column) -> Column:
+    """Whitespace-run tokenization with empty tokens dropped — the shared
+    word splitter for operators that must agree on word counts across
+    multi-space text (tfidf_top_terms, the C4 line rule)."""
+    return F.filter(F.split(text, " +"), lambda t: t != "")
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF-style top terms per document — the keyword/topic profile stage of
 # a curation pipeline (domain tagging, topic balancing). The idf is the
-# SMOOTHED LINEAR form (N+1)/(df+1) rather than its logarithm: rankings
-# within a document are order-isomorphic for monotone idf transforms when
-# comparing like-for-like, and the log-free form keeps every score an
-# exact IEEE double of integer operands — bit-identical across engines
-# (libm ln() is NOT ulp-pinned between the JVM and C, and a last-ulp
-# difference under a rounding boundary would flip a cross-engine rank).
+# SMOOTHED LINEAR form (N+1)/(df+1) rather than its logarithm — libm ln()
+# is not ulp-pinned between the JVM and C — and the RANKING KEY is the
+# exact integer microscore
+#
+#     score_micro = round_half_up(tf * (N+1) * 1e6 / (df+1))
+#                 = (2*tf*(N+1)*1e6 + (df+1)) div (2*(df+1))
+#
+# computed with integer arithmetic on BOTH engines: round(double, 6) would
+# reintroduce the half-boundary divergence (Spark rounds the shortest
+# decimal repr half-up, DuckDB the raw binary — the tpch_q10 bug class;
+# tf*(N+1)/(df+1) can sit exactly on a 6-dp half). Overflow bound:
+# 2e6 * tf * (N+1) must stay under 2^63 → tf*N < 4.6e12, far past any
+# contract scale (Spark long wraps silently on overflow, so the bound is
+# documented rather than discovered).
 # ---------------------------------------------------------------------------
 
 
@@ -243,34 +262,50 @@ def tfidf_top_terms(
     text_col: str = "text",
     k: int = 5,
 ) -> DataFrame:
-    """(doc_id, term, tf, score, rank) for each document's top-k terms by
-    tf * (N+1)/(df+1), rank deterministic via (rounded score desc, term
-    asc). Two shuffles: the document-frequency aggregate on term and the
-    per-document top-k window; the join key is the term (AQE skew-join
-    backstops stopword-heavy corpora — though high-df terms score low,
-    they still join)."""
+    """(doc_id, term, tf, score, rank) for each document's top-k terms,
+    rank deterministic via (score_micro desc, term asc) — integers, so no
+    float boundary exists anywhere in the ordering. ``score`` is
+    score_micro / 1e6 (same division of the same integer on both engines).
+
+    Lazy: N is an aggregate broadcast-joined into the plan, not a
+    driver-side count, so composing this after expensive upstream
+    transforms does not execute them twice. Two shuffles: the
+    document-frequency aggregate on term and the per-document top-k
+    window (AQE skew-join backstops stopword-heavy corpora)."""
     from pyspark.sql.window import Window
 
-    n_docs = df.count()
-    terms = (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(F.split(F.col(text_col), " +")).alias("term"))
-        .where(F.col("term") != "")
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(doc_freq, "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        F.round(
-            F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6
-        ).alias("score"),
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.expr(
+                "(2 * tf * (n_docs + 1) * 1000000 + (df + 1))"
+                " div (2 * (df + 1))"
+            ).alias("score_micro"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "score_micro",
+            (F.col("score_micro") / F.lit(1_000_000.0)).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("term").asc()
+        F.col("score_micro").desc(), F.col("term").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .drop("score_micro")
     )

@@ -3553,17 +3553,20 @@ _ORACLE_TFIDF = """
         select term, count(*) as df from tf group by term
     ),
     scored as (
+        -- EXACT integer half-up microscore, same formula as the operator:
+        -- round(double, 6) diverges on half boundaries (tpch_q10 class)
         select tf.doc_id, tf.term, tf.tf,
-            round(tf.tf * (cast(n.n_docs + 1 as double) / (docfreq.df + 1)), 6)
-                as score
+            (2 * tf.tf * (n.n_docs + 1) * 1000000 + (docfreq.df + 1))
+                // (2 * (docfreq.df + 1)) as score_micro
         from tf join docfreq using (term) cross join n
     ),
     ranked as (
         select *, row_number() over (
-            partition by doc_id order by score desc, term asc) as rank
+            partition by doc_id order by score_micro desc, term asc) as rank
         from scored
     )
-    select doc_id, term, cast(tf as bigint) as tf, score,
+    select doc_id, term, cast(tf as bigint) as tf,
+        cast(score_micro as double) / 1000000.0 as score,
         cast(rank as int) as rank
     from ranked where rank <= 3
 """
