@@ -204,3 +204,39 @@ def test_warc_parser_never_raises_on_random_bytes(raw):
     from documentprocessor_spark.sources.warc import parse_warc_records
 
     list(parse_warc_records(raw))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: the Spark (Java-regex) pipeline must agree with Python
+# `re` on arbitrary text — the patterns are the portable contract, the
+# engines interchangeable. Fuzzed over text that MIXES near-miss shapes
+# (digits, dots, @, dashes) with real PII-looking tokens.
+# ---------------------------------------------------------------------------
+
+_pii_atoms = st.sampled_from([
+    "word", "a@b.co", "x@y", "@", "5.5", "1.2.3.4", "256.1.1.1",
+    "555-123-4567", "555-12-4567", "5555-123-4567", "user.name+x@ex.org",
+    "10.0.0.", ".1.2.3.4", "a..b@c..d.com", "$", "-", ".", "123",
+    "end.", "v1.2.3", "call555-123-4567now",
+])
+_pii_texts = st.lists(_pii_atoms, min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(_pii_texts, min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None)
+def test_pii_spark_matches_python_re_fuzz(spark, texts):
+    import re
+
+    from documentprocessor_spark.operators.pii import PII_RULES, redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.text_redacted, r.n_email, r.n_phone, r.n_ip)
+           for r in redact_pii(df).collect()}
+    for i, t in enumerate(texts):
+        staged, counts = t, []
+        for pattern, token in PII_RULES:
+            counts.append(len(re.findall(pattern, staged)))
+            staged = re.sub(pattern, token, staged)
+        assert got[i] == (staged, *counts), t
