@@ -33,8 +33,11 @@ def contamination_overlap(
     broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """(doc_id, n_hits, n_bench_docs): per training doc, how many distinct
-    contaminated n-grams it contains and how many benchmark docs those
-    n-grams touch. Only contaminated docs are returned (inner join).
+    contaminated n-grams it contains, and the sum over those contaminated
+    n-grams of the number of benchmark docs containing each (a benchmark
+    doc is counted once per shared shingle, NOT distinct across shingles —
+    the oracle implements the same formula). Only contaminated docs are
+    returned (inner join).
 
     ``df_cap`` drops n-grams shared by more than df_cap benchmark docs
     before the join — the worst join key is bounded by construction.

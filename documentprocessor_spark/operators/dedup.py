@@ -98,19 +98,33 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        k: int = DEFAULT_MINHASH_K,
                        n: int = DEFAULT_SHINGLE_N) -> DataFrame:
-    """(doc_id, seed, minhash): k independent min-hashes per document.
+    """(doc_id, seed, minhash bigint): k independent min-hashes per document.
 
-    h_seed(s) = md5(seed || ':' || s); the minimum hex digest per seed is a
-    valid MinHash (lexicographic min of the hex string = numeric min of the
-    128-bit value). Entirely portable across Spark/DuckDB.
+    h_seed(s) = the first 60 bits of md5(seed || ':' || s) as an int64; the
+    numeric minimum per seed is a valid MinHash. Portable across
+    Spark/DuckDB: conv(substr(md5(x),1,15),16,10)::bigint here equals
+    ('0x' || substr(md5(x),1,15))::bigint there.
+
+    The minhash is NUMERIC (bigint), not the hex string, deliberately: min()
+    over a string buffer is not eligible for Spark's hash-aggregate fast
+    path (ObjectHashAggregate/SortAggregate fallback — the r03 plan showed
+    SortAggregate on both sides of the Exchange, sorting every partition by
+    doc_id twice). Primitive bigint buffers keep the k min() aggregates in
+    HashAggregate with map-side partial aggregation.
 
     Plan shape: explode(shingles) → single groupBy(doc_id) with k min()
-    aggregates — one shuffle, map-side partial aggregation does the heavy
-    lifting.
+    aggregates — one shuffle, HashAggregate both sides.
     """
     pairs = doc_shingles(df, id_col, text_col, n)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+        ).alias(f"mh{seed}")
         for seed in range(k)
     ]
     wide = pairs.groupBy("doc_id").agg(*aggs)
@@ -127,14 +141,23 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_bands(signatures: DataFrame, band_rows: int = DEFAULT_BAND_ROWS) -> DataFrame:
     """(doc_id, band, band_hash): concat `band_rows` consecutive minhashes.
-    Docs sharing any (band, band_hash) are LSH candidates."""
+    Docs sharing any (band, band_hash) are LSH candidates.
+
+    minhash is bigint; the band hash md5's the numerically-sorted decimal
+    renderings (DuckDB twin: string_agg(mh::varchar, '|' order by mh))."""
     banded = signatures.withColumn(
         "band", (F.col("seed") / F.lit(band_rows)).cast("int")
     )
     return banded.groupBy("doc_id", "band").agg(
-        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias(
-            "band_hash"
-        )
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list("minhash")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("band_hash")
     )
 
 

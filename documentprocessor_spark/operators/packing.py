@@ -47,8 +47,15 @@ def pack_sequences(
         F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
-    return df.select(
-        "*",
-        F.floor(cum_before / F.lit(budget)).alias("pack_id"),
-        F.pmod(cum_before, F.lit(budget)).alias("pack_offset"),
+    # `div` is exact integer division on the bigint running sum — the double
+    # path floor(cum/budget) is exact only below 2^53 and diverges from the
+    # oracle's `//` beyond it; the module's exact-integer discipline applies.
+    return (
+        df.select("*", cum_before.cast("long").alias("cum_before_"))
+        .select(
+            "*",
+            F.expr(f"cum_before_ div {int(budget)}").alias("pack_id"),
+            F.pmod(F.col("cum_before_"), F.lit(budget)).alias("pack_offset"),
+        )
+        .drop("cum_before_")
     )

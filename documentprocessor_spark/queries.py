@@ -1028,7 +1028,7 @@ _ORACLE_MINHASH = """
     ),
     seeds as (select unnest(range(4)) as seed)
     select doc_id, cast(seed as int) as seed,
-        min(md5(cast(seed as varchar) || ':' || shingle)) as minhash
+        min(('0x' || substr(md5(cast(seed as varchar) || ':' || shingle), 1, 15))::bigint) as minhash
     from sh cross join seeds
     group by doc_id, seed
 """
@@ -1235,12 +1235,12 @@ _ORACLE_CURATE = f"""
     seeds as (select unnest(range(8)) as seed),
     sig as (
         select doc_id, seed,
-            min(md5(cast(seed as varchar) || ':' || shingle)) as mh
+            min(('0x' || substr(md5(cast(seed as varchar) || ':' || shingle), 1, 15))::bigint) as mh
         from sh cross join seeds group by doc_id, seed
     ),
     bands as (
         select doc_id, cast(seed // 2 as int) as band,
-            md5(string_agg(mh, '|' order by mh)) as band_hash
+            md5(string_agg(mh::varchar, '|' order by mh)) as band_hash
         from sig group by doc_id, cast(seed // 2 as int)
     ),
     losers as (
@@ -1528,12 +1528,12 @@ _ORACLE_BAND_PAIRS = """
     seeds as (select unnest(range(8)) as seed),
     sig as (
         select doc_id, seed,
-            min(md5(cast(seed as varchar) || ':' || shingle)) as mh
+            min(('0x' || substr(md5(cast(seed as varchar) || ':' || shingle), 1, 15))::bigint) as mh
         from sh cross join seeds group by doc_id, seed
     ),
     bands as (
         select doc_id, cast(seed // 2 as int) as band,
-            md5(string_agg(mh, '|' order by mh)) as band_hash
+            md5(string_agg(mh::varchar, '|' order by mh)) as band_hash
         from sig group by doc_id, cast(seed // 2 as int)
     )
     select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as shared_bands
