@@ -278,6 +278,88 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+DEFAULT_SPAN_K = 50          # tokens per window, à la Lee et al. 2022
+DEFAULT_SPAN_DF_CAP = 1000   # drop windows present in more docs than this
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    k: int = DEFAULT_SPAN_K,
+                    min_docs: int = 2,
+                    df_cap: int = DEFAULT_SPAN_DF_CAP) -> DataFrame:
+    """Cross-document exact-substring detection ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022 — the ExactSubstr
+    pass, reformulated relationally): emit, per document, the MAXIMAL token
+    ranges covered by at least one k-token window whose exact text also
+    appears in >= ``min_docs`` distinct documents.
+
+    Returns (doc_id, span_start, span_len, n_windows) — span_start is the
+    0-based token offset, span_len the token length of the merged range,
+    n_windows how many duplicated k-windows the range absorbs.
+
+    Not a suffix array: the reference algorithm builds a monolithic suffix
+    array, which cannot shard. The relational twin hashes every overlapping
+    k-token window (md5-prefix int64, portable to the DuckDB oracle),
+    counts distinct docs per window hash, keeps hashes seen in
+    [min_docs, df_cap] docs, joins back, and merges overlapping windows per
+    doc with a lag/cumsum interval union.
+
+    Scale shape (100 TB): deliberately count-then-join, NOT the
+    groupBy-collect shape ngram_jaccard_pairs uses — site boilerplate makes
+    some window hashes astronomically hot, and a collect_set on those keys
+    is unbounded, while countDistinct partial-aggregates (doc_id, hash)
+    pairs map-side and the df_cap filter runs BEFORE the join, so the worst
+    surviving join key is df_cap rows by construction. Three shuffles
+    (distinct-count, join, per-doc merge window), all on 8-byte keys; the
+    wide text column never shuffles.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_win = F.size(toks) - F.lit(k - 1)
+    win_structs = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("span_start"),
+                F.conv(
+                    F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 15),
+                    16, 10,
+                ).cast("long").alias("win_hash"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<span_start:bigint,win_hash:bigint>>"))
+    windows = (
+        df.select(F.col(id_col).alias("doc_id"), win_structs.alias("w"))
+        .select("doc_id", F.explode("w").alias("w"))
+        .select("doc_id", "w.span_start", "w.win_hash")
+    )
+    dup_hashes = (
+        windows.groupBy("win_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where((F.col("n_docs") >= min_docs) & (F.col("n_docs") <= df_cap))
+        .select("win_hash")
+    )
+    occ = windows.join(dup_hashes, "win_hash").select("doc_id", "span_start")
+    # interval union per doc: windows cover [start, start+k); a window opens
+    # a new run iff it starts beyond the previous covered range (all
+    # intervals have equal length, so the running max end is lag(start)+k)
+    order_w = Window.partitionBy("doc_id").orderBy("span_start")
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_s = F.lag("span_start").over(order_w)
+    is_new = F.when(
+        prev_s.isNull() | (F.col("span_start") - prev_s > k), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        occ.withColumn("run_id", F.sum(is_new).over(cum_w))
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            (F.max("span_start") + F.lit(k) - F.min("span_start")).alias("span_len"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_windows")
+    )
+
+
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """Portable SimHash: bit j's vote per token = +1 if the first hex char of
     md5(j || ':' || token) is in 0-7, else −1; bit set iff the sum > 0.

@@ -1034,6 +1034,52 @@ _ORACLE_MINHASH = """
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring spans (Lee et al. 2022 ExactSubstr,
+    relational form): maximal token ranges covered by a 20-token window
+    that appears verbatim in >= 2 distinct documents. k=20 (not the
+    production 50) because the sf corpus averages ~54 tokens/doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "doc_id", "text", k=20)
+
+
+# lag must sit in its own CTE (DuckDB can't nest window fns), the interval
+# union is the same lag/cumsum sessionization as the Spark side; all keys
+# bigint (range's i is bigint; Spark casts span_start to long to match).
+_ORACLE_DEDUP_SPANS = """
+    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
+    win as (
+        select doc_id, i as span_start,
+            ('0x' || substr(md5(array_to_string(toks[i + 1:i + 20], ' ')), 1, 15))::bigint as win_hash
+        from tok, lateral unnest(range(len(toks) - 19)) as u(i)
+    ),
+    dup as (
+        select win_hash from win
+        group by win_hash
+        having count(distinct doc_id) between 2 and 1000
+    ),
+    occ as (select w.doc_id, w.span_start from win w join dup using (win_hash)),
+    lagged as (
+        select doc_id, span_start,
+            lag(span_start) over (partition by doc_id order by span_start) as prev_s
+        from occ
+    ),
+    runs as (
+        select doc_id, span_start,
+            sum(case when prev_s is null or span_start - prev_s > 20 then 1 else 0 end)
+                over (partition by doc_id order by span_start
+                      rows between unbounded preceding and current row) as run_id
+        from lagged
+    )
+    select doc_id,
+        min(span_start) as span_start,
+        max(span_start) + 20 - min(span_start) as span_len,
+        count(*) as n_windows
+    from runs
+    group by doc_id, run_id
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -2380,6 +2426,77 @@ _ORACLE_STREAMING = """
     -- cast: bare sum(int) is HUGEINT (see _ORACLE_H8 note)
     select lang, count(*) as n_docs,
         cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens
+    from documents group by lang
+"""
+
+
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL streaming operator (applyInPandasWithState,
+    streaming/stream.py running_totals) certified against the batch oracle:
+    documents re-split into 3 parquet files, streamed with
+    maxFilesPerTrigger=1 under availableNow so the per-key state genuinely
+    accumulates across 3 micro-batches, update-mode memory sink. Running
+    totals are monotone, so the final state per key = max over its
+    update emissions — deterministic however the batches split. Same
+    stream==batch row-count assertion as streaming_lang_stats."""
+    import os
+    import re as _re3
+    import tempfile
+
+    from documentprocessor_spark.streaming.stream import running_totals
+
+    src = f"{sf_dir}/documents.parquet"
+    batch = spark.read.parquet(src)
+    n_batch = batch.count()
+    # deterministic per-sf source dir, overwrite mode (never delete-on-exit;
+    # the memory sink materializes, so the dir itself may be recreated by
+    # later calls without invalidating the returned DataFrame)
+    tag = _re3.sub(r"\W", "_", sf_dir)
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"dp_stateful_src_{tag}"
+    )
+    batch.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    prepared = stream.select(
+        F.col("lang"),
+        F.length("text").cast("long").alias("size_bytes"),
+    )
+    totals = running_totals(prepared, "lang", count_name="n_docs",
+                            bytes_name="total_bytes")
+    qname = "stream_totals_" + tag
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(qname)
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("total_bytes").alias("total_bytes"),
+        )
+    )
+    n_streamed = final.agg(F.sum("n_docs")).collect()[0][0] or 0
+    if n_streamed != n_batch:
+        raise RuntimeError(
+            f"stateful stream consumed {n_streamed} rows but batch read of "
+            f"{src} has {n_batch} — partial stream input"
+        )
+    return final
+
+
+_ORACLE_STREAMING_TOTALS = """
+    -- cast: bare sum(int) is HUGEINT through the driver's arrow fetch
+    select lang, count(*) as n_docs,
+        cast(sum(length(text)) as bigint) as total_bytes
     from documents group by lang
 """
 
@@ -4166,7 +4283,7 @@ QUERIES = {
     "cube_order_priority": q_cube_order_priority,
     "distinct_users_daily": q_distinct_users_daily,
     "semi_anti_customers": q_semi_anti_customers,
-    # new this round
+    # new in round 3, first gated then
     "read_results_evolution": q_read_results_evolution,
     "entry_c_currency": q_entry_c_currency,
     "pii_redaction": q_pii_redaction,
@@ -4177,19 +4294,26 @@ QUERIES = {
     "session_window_events": q_session_window_events,
     "c4_line_filter": q_c4_line_filter,
     "dedup_clusters": q_dedup_clusters,
+    # new in round 4: exact-substring span dedup (Lee et al. ExactSubstr)
+    # and the stateful-streaming certification row
+    "dedup_spans": q_dedup_spans,
+    "streaming_running_totals": q_streaming_running_totals,
+    # rotated IN for round 4 (never driver-certified before; the r03 verdict's
+    # top directive): the three r3 local-only rows, plus minhash signatures
+    # whose operator changed this round (numeric bigint minhash — must
+    # re-certify on the driver even though its r02 row was green)
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "tpch_q4_order_priority": q_tpch_q4_order_priority,
+    "tpch_q10_returned_items": q_tpch_q10_returned_items,
+    "dedup_minhash_signatures": q_dedup_minhash,
     # r02-certified, unique certifying row for their op — stay in window
-    "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "o4_normalize_boxes": q_o4_normalize,
     "s1_s2_binary_scan": q_s1_s2_binary_scan,
-    "s4_multipage_order": q_s4_multipage_order,
     "m1_token_classifier": q_m1_token_classifier,
     "m2_bio_entity_merge": q_bio_entity_merge,
-    "m4_cord_parse": q_m4_cord_parse,
-    "h7_date_iso": q_h7_date_iso,
     "h9_line_items": q_h9_line_items,
     "h10_h11_quality": q_h10_h11_quality,
     "h12_model_first_merge": q_h12_model_first_merge,
-    "p_ops_image_math": q_p_ops_image_math,
     "p_ops_filter_chain": q_p_ops_filter_chain,
     "multimodal_features": q_multimodal_features,
     "warc_ingest": q_warc_ingest,
@@ -4203,36 +4327,35 @@ QUERIES = {
     "lang_id_counts": q_lang_counts,
     "similarity_cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
-    "url_canonicalization": q_url_canonicalization,
     # --- tail --- (position 51+): each op here is either certified by
-    # another in-window row (blas/lsh variants, S3 base64 twin, minhash
-    # signatures inside band-pairs, h1-h6 kernels inside the in-window
-    # flagship pipeline row), or its r02 green row stands (TPC-H
-    # q1/q3/q5/q17, h5, simhash, m6, audio, video_frame_sample — whose
-    # multimodal plumbing keeps the in-window multimodal_features row —
-    # and rows-only h13 whose check is identical wherever it runs).
-    # tpch_q4/q10 are NEW local-only breadth rows, a documented trade-off:
-    # the window's 50 slots went to ops with no certification of any kind
-    # (pii/sampling/packing/contamination/percentiles/session_window/
-    # read_results/entry_c), while q4/q10 re-exercise join+agg shapes the
-    # gate already certifies via q1/q3/q5/q17/q18 and are green against
-    # their oracles at sf0.001/0.01/0.1 locally (tools/check_contract.py)
+    # another in-window row (blas/lsh variants, S3 base64 twin, h1-h6
+    # kernels inside the in-window flagship pipeline row), or a past green
+    # DRIVER row stands (TPC-H q1/q3/q5/q17, h5, simhash, m6, audio,
+    # video_frame_sample — whose multimodal plumbing keeps the in-window
+    # multimodal_features row — and rows-only h13 whose check is identical
+    # wherever it runs).
+    # Rotated OUT in round 4 to make room for the never-driver-certified
+    # rows (the r03 verdict's top directive): s4_multipage_order,
+    # m4_cord_parse, h7_date_iso, o1_ocr_roundtrip, p_ops_image_math,
+    # url_canonicalization — each DOUBLE-certified (green driver rows in
+    # BOTH r02 and r03 with the operator code unchanged since).
+    "s4_multipage_order": q_s4_multipage_order,
+    "m4_cord_parse": q_m4_cord_parse,
+    "h7_date_iso": q_h7_date_iso,
+    "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
+    "p_ops_image_math": q_p_ops_image_math,
+    "url_canonicalization": q_url_canonicalization,
     "h1_vendor_top3": q_h1_vendor_top3,
     "h2_keyword_window": q_h2_keyword_window,
     "h3_subtotal_window": q_h3_subtotal_window,
     "h4_tax_window": q_h4_tax_window,
     "h6_date_regex": q_h6_date_regex,
     "h13_bucket_distribution": q_h13_bucket_distribution,
-    # NEW local-only breadth row (like tpch_q4/q10 below): tf/df shapes are
-    # already gate-certified via text_stats + top_part_per_supplier; green
-    # at 3 SFs locally
-    "tfidf_top_terms": q_tfidf_top_terms,
     # exact dedup also runs inside the in-window curate_documents plan
     "dedup_exact": q_dedup_exact,
     # O6 subword tokenization's box-inherit pattern is also pinned by the
     # in-window o4 row + pytest; its r02 green row stands
     "o6_subword_tokens": q_o6_subword_tokens,
-    "dedup_minhash_signatures": q_dedup_minhash,
     "cosine_topk_blas": q_cosine_topk_blas,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "s3_base64_roundtrip": q_s3_base64_roundtrip,
@@ -4245,11 +4368,11 @@ QUERIES = {
     "tpch_q3_top_revenue": q_top_revenue_orders,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
-    "tpch_q4_order_priority": q_tpch_q4_order_priority,
-    "tpch_q10_returned_items": q_tpch_q10_returned_items,
 }
 
 ORACLES = {
+    "dedup_spans": _ORACLE_DEDUP_SPANS,
+    "streaming_running_totals": _ORACLE_STREAMING_TOTALS,
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,

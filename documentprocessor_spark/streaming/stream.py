@@ -50,42 +50,58 @@ def dedup_stream(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFram
     return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
 
 
-_DOMAIN_STATE_SCHEMA = "n_pages long, total_bytes long"
-_DOMAIN_OUT_SCHEMA = "domain string, n_pages long, total_bytes long"
+_STATE_SCHEMA = "n_rows long, total_bytes long"
 
 
-def _domain_totals_fn(key, pdfs, state):
-    """applyInPandasWithState update function: per-domain running totals
+def _make_totals_fn(key_name: str, count_name: str, bytes_name: str):
+    """applyInPandasWithState update function: per-key running totals
     accumulated across micro-batches (the custom-stateful-operator pattern —
-    SURVEY.md §2.9's streaming gap, filled Spark-natively)."""
-    import pandas as pd
+    SURVEY.md §2.9's streaming gap, filled Spark-natively). Totals are
+    monotonically non-decreasing, so the FINAL state per key is the max of
+    its update-mode emissions — the property running_totals' consumers use
+    to read a deterministic result out of an update sink."""
 
-    n, total = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += int(pdf["html_bytes"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"domain": [key[0]], "n_pages": [n], "total_bytes": [total]}
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["size_bytes"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_name: [key[0]], count_name: [n], bytes_name: [total]}
+        )
+
+    return _fn
+
+
+def running_totals(prepared: DataFrame, key_col: str,
+                   count_name: str = "n_rows",
+                   bytes_name: str = "total_bytes") -> DataFrame:
+    """Generic stateful streaming totals: `prepared` must have columns
+    (key_col, size_bytes long); emits (key_col, count_name, bytes_name)
+    running totals per key, update mode."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} string, {count_name} long, {bytes_name} long"
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        _make_totals_fn(key_col, count_name, bytes_name),
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
 def domain_running_totals(pages_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming aggregation: per-domain page count + byte
     totals maintained in executor state across micro-batches."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     prepared = pages_stream.select(
         F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1).alias("domain"),
-        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("html_bytes"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("size_bytes"),
     )
-    return prepared.groupBy("domain").applyInPandasWithState(
-        _domain_totals_fn,
-        outputStructType=_DOMAIN_OUT_SCHEMA,
-        stateStructType=_DOMAIN_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return running_totals(prepared, "domain", count_name="n_pages")
 
 
 def windowed_domain_counts(pages_stream: DataFrame,

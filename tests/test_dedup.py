@@ -107,3 +107,76 @@ def test_short_docs_do_not_crash_shingling(spark):
     assert got == {4}  # only the long doc has 3-gram shingles
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0)
     assert pairs.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (cross-document exact-substring detection)
+# ---------------------------------------------------------------------------
+
+SPAN_DOCS = [
+    # docs 10/11 share the exact 8-token prefix "a b c d e f g h", then
+    # diverge; doc 12 shares nothing; doc 13 repeats its own content twice
+    # (within-doc repeat — only 1 distinct doc, must NOT count)
+    (10, "a b c d e f g h X1 X2 X3 X4 X5"),
+    (11, "a b c d e f g h Y1 Y2 Y3 Y4 Y5"),
+    (12, "u v w x y z q r s t u2 v2 w2"),
+    (13, "m n o p m n o p m n o p m n o p"),
+]
+
+
+@pytest.fixture(scope="module")
+def span_docs_df(spark):
+    return spark.createDataFrame(SPAN_DOCS, ["doc_id", "text"])
+
+
+def test_duplicate_spans_basic(span_docs_df):
+    """k=4 over the shared 8-token prefix: starts 0..4 are duplicated in
+    docs 10 and 11 → ONE merged span per doc, [0, 8) (5 windows)."""
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_len"], r["n_windows"])
+        for r in dedup.duplicate_spans(
+            span_docs_df, "doc_id", "text", k=4
+        ).collect()
+    }
+    assert got == {(10, 0): (8, 5), (11, 0): (8, 5)}
+
+
+def test_duplicate_spans_within_doc_repeat_not_counted(span_docs_df):
+    """doc 13's 'm n o p' repeats 4 times inside ONE doc — min_docs counts
+    DISTINCT docs, so no span is emitted for it."""
+    rows = dedup.duplicate_spans(span_docs_df, "doc_id", "text", k=4).collect()
+    assert all(r["doc_id"] != 13 for r in rows)
+
+
+def test_duplicate_spans_df_cap_drops_boilerplate(spark):
+    """A window shared by MORE docs than df_cap is boilerplate and dropped."""
+    docs = spark.createDataFrame(
+        [(i, "shared header tokens here tail%d x y z" % i) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    # 'shared header tokens here' is in all 10 docs: df_cap=5 drops it
+    assert dedup.duplicate_spans(docs, "doc_id", "text", k=4, df_cap=5).count() == 0
+    got = dedup.duplicate_spans(docs, "doc_id", "text", k=4, df_cap=20)
+    assert got.count() == 10
+
+
+def test_duplicate_spans_disjoint_runs_split(spark):
+    """Two shared regions separated by > k unshared tokens yield TWO spans."""
+    base = "s1 s2 s3 s4 %s t1 t2 t3 t4"
+    docs = spark.createDataFrame(
+        [(1, base % "GAP1a GAP1b GAP1c GAP1d GAP1e"),
+         (2, base % "GAP2a GAP2b GAP2c GAP2d GAP2e")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in dedup.duplicate_spans(docs, "doc_id", "text", k=4).collect()
+    )
+    assert rows == [(1, 0, 4), (1, 9, 4), (2, 0, 4), (2, 9, 4)]
+
+
+def test_duplicate_spans_short_docs_no_crash(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short"), (3, "")], ["doc_id", "text"]
+    )
+    assert dedup.duplicate_spans(docs, "doc_id", "text", k=50).count() == 0

@@ -38,8 +38,20 @@ COMMENTARY = {
         "decided at runtime."
     ),
     "dedup_minhash_signatures": (
-        "explode(shingles) → single hash-partial groupBy(doc_id) with k "
-        "min() aggregates; one shuffle on doc_id."
+        "explode(shingles) → single groupBy(doc_id) with k min() "
+        "aggregates; one shuffle on doc_id. The minhash is NUMERIC "
+        "(bigint from the md5 prefix) so the agg buffers are primitive: "
+        "HashAggregate with map-side partial aggregation on BOTH sides of "
+        "the Exchange — the r03 hex-string form fell back to SortAggregate."
+    ),
+    "dedup_spans": (
+        "ExactSubstr span dedup, count-then-join: window hashes partial-"
+        "aggregate map-side for the distinct-doc count, the df-cap filter "
+        "runs BEFORE the join back so the worst surviving join key is "
+        "df_cap rows by construction (site boilerplate — the hottest "
+        "hashes — never reaches the join); per-doc interval union is one "
+        "window Exchange on doc_id. All shuffles carry 8-byte keys, the "
+        "text column never shuffles."
     ),
     "similarity_cosine_topk": (
         "Query side broadcast; dot products are native aggregate/zip_with "
