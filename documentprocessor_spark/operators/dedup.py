@@ -161,6 +161,62 @@ def minhash_bands(signatures: DataFrame, band_rows: int = DEFAULT_BAND_ROWS) -> 
     )
 
 
+def minhash_star_edges(df: DataFrame, id_col: str, text_col: str,
+                       k: int = DEFAULT_MINHASH_K,
+                       band_rows: int = DEFAULT_BAND_ROWS,
+                       n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    """(doc_a, doc_b) with doc_a = its LSH bucket's MINIMUM doc id,
+    doc_a < doc_b, distinct — the STAR form of the band join.
+
+    For keep-the-minimum dedup semantics the full pair clique per bucket is
+    redundant: a doc loses iff some bucket contains a lower id, which holds
+    iff its bucket's MIN is lower — and connected components over the star
+    edges equal components over the clique (every bucket member touches the
+    bucket min). So stars produce IDENTICAL losers (one-pass rule) and
+    IDENTICAL clusters (transitive rule) to minhash_candidate_pairs.
+
+    Scale shape: the clique join emits O(m^2) rows for an m-doc bucket — a
+    mass-templated crawl (30% of pages sharing a band) dies
+    combinatorially, and AQE skew-split cannot shrink the OUTPUT. Stars are
+    O(m) per bucket: one groupBy(band, band_hash) for the bucket minimum
+    (map-side combined), one equi-join back (AQE skew-split handles the hot
+    bucket; rows are 16-byte id pairs). Use minhash_candidate_pairs only
+    when the pair list itself (with shared_bands counts) is the product.
+    """
+    bands = minhash_bands(minhash_signatures(df, id_col, text_col, k, n), band_rows)
+    mins = bands.groupBy("band", "band_hash").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    return (
+        bands.join(mins, ["band", "band_hash"])
+        .where(F.col("doc_id") > F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def exact_dedup_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The rows of `df` whose id is the MINIMUM of their exact-content
+    group — exact dedup for pipelines that only need survivors.
+
+    Skew shape: exact_duplicates' window (min over partition by sha2) has
+    NO map-side partial aggregation — a mass-duplicated page (one boilerplate
+    document = 30% of a crawl) sends 30% of all rows, TEXT INCLUDED, to one
+    reducer. Here the winner set is a groupBy over (hash, id) pairs only
+    (map-side combine collapses the hot hash to one row per input
+    partition; text never shuffles), then a semi-join back on the UNIQUE id
+    — a uniformly distributed key regardless of content skew.
+    """
+    winners = (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"),
+                  F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "semi")
+
+
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                             k: int = DEFAULT_MINHASH_K,
                             band_rows: int = DEFAULT_BAND_ROWS,

@@ -6,23 +6,25 @@ pipeline runs over a raw document corpus —
 Every stage is deterministic and shuffle-conscious:
 
 - stats/filters are codegen'd column expressions (operators.textstats);
-- exact dedup shuffles once on the sha2 digest;
-- near-dup drop uses the banded MinHash join (operators.dedup) and keeps
-  the LOWEST doc id of any colliding pair — a one-pass rule (no transitive
-  closure), which makes the whole plan SQL-expressible and oracle-checkable
-  while still removing every near-dup cluster's non-minimal members that
-  directly collide with the survivor.
+- exact dedup is the skew-safe survivors form: groupBy winners over
+  (hash, id) pairs + semi-join on the unique id — the text column never
+  shuffles, and a mass-duplicated page cannot create a hot reducer;
+- near-dup drop uses MinHash STAR edges (operators.dedup.minhash_star_edges)
+  and keeps the LOWEST doc id of any colliding pair — a one-pass rule (no
+  transitive closure), which makes the whole plan SQL-expressible and
+  oracle-checkable while still removing every near-dup cluster's
+  non-minimal members that directly collide with the survivor.
 
-At corpus scale the expensive stage is the band join; its key is a 32-hex
-band hash — uniformly distributed by construction, with AQE skew-join as
-the backstop for adversarial inputs.
+At corpus scale the expensive stage is the band stage; star edges bound it
+at O(bucket size) per LSH bucket even when a templated crawl makes one
+bucket hold a third of the corpus (the clique join would be O(bucket^2)),
+with AQE skew-join as the runtime backstop on the bucket key.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..operators import dedup
 from ..operators.textstats import lang_id_col, quality_score_col
@@ -66,14 +68,19 @@ def curate_documents(
         (F.col("lang_id") == lang) & (F.col("quality_score") >= min_quality)
     )
 
-    # exact dedup: keep the minimal id per content hash
-    w = Window.partitionBy(F.sha2(F.col("text"), 256))
-    exact = filtered.withColumn("canonical_id", F.min("doc_id").over(w)).where(
-        F.col("doc_id") == F.col("canonical_id")
-    )
+    # exact dedup: keep the minimal id per content hash. The survivors form
+    # (groupBy winners + semi-join on the unique id) rather than a window
+    # over the content hash: a mass-duplicated page gives the window's hot
+    # partition 30% of the corpus with no map-side combine, while the
+    # groupBy collapses it to one row per input partition and the text
+    # column never shuffles (operators/dedup.exact_dedup_survivors).
+    exact = dedup.exact_dedup_survivors(filtered, "doc_id", "text")
 
-    # near-dup drop: any doc sharing a MinHash band with a lower id is dropped
-    pairs = dedup.minhash_candidate_pairs(
+    # near-dup drop: any doc sharing a MinHash band with a lower id is
+    # dropped. STAR edges, not the pair clique — identical losers and
+    # identical components, O(bucket) instead of O(bucket^2) rows when a
+    # templated crawl makes one LSH bucket hot (dedup.minhash_star_edges).
+    pairs = dedup.minhash_star_edges(
         exact, "doc_id", "text", k=minhash_k, band_rows=band_rows
     )
     if transitive:

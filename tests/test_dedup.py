@@ -180,3 +180,54 @@ def test_duplicate_spans_short_docs_no_crash(spark):
         [(1, "too short"), (2, "too short"), (3, "")], ["doc_id", "text"]
     )
     assert dedup.duplicate_spans(docs, "doc_id", "text", k=50).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# skew-safe forms: star edges and exact-dedup survivors
+# ---------------------------------------------------------------------------
+
+
+def test_star_edges_equal_clique_losers_and_components(docs_df):
+    """minhash_star_edges must produce the SAME loser set (one-pass rule)
+    and the SAME connected components as the full pair clique."""
+    clique = dedup.minhash_candidate_pairs(docs_df, "doc_id", "text")
+    stars = dedup.minhash_star_edges(docs_df, "doc_id", "text")
+    clique_losers = {r["doc_b"] for r in clique.collect()}
+    star_losers = {r["doc_b"] for r in stars.collect()}
+    assert star_losers == clique_losers
+
+    from documentprocessor_spark.operators.graph import dedup_clusters
+
+    cc = lambda pairs: {
+        (r["doc_id"], r["canonical_id"]) for r in dedup_clusters(pairs).collect()
+    }
+    assert cc(stars) == cc(clique)
+
+
+def test_star_edges_linear_in_hot_bucket(spark):
+    """A bucket of m near-identical docs yields m-1 star edges, not
+    C(m,2) clique pairs — the scale property that saves a templated crawl."""
+    m = 12
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate page content repeated everywhere") for i in range(m)],
+        ["doc_id", "text"],
+    )
+    stars = dedup.minhash_star_edges(docs, "doc_id", "text").collect()
+    assert len(stars) == m - 1
+    assert all(r["doc_a"] == 0 for r in stars)
+    clique_n = dedup.minhash_candidate_pairs(docs, "doc_id", "text").count()
+    assert clique_n == m * (m - 1) // 2  # the shape stars avoid
+
+
+def test_exact_dedup_survivors_equals_window_form(docs_df):
+    """Survivors form (groupBy + semi-join) == minimal ids of
+    exact_duplicates' window form."""
+    window_survivors = {
+        r["doc_id"]
+        for r in dedup.exact_duplicates(docs_df, "doc_id", "text").collect()
+        if r["doc_id"] == r["canonical_id"]
+    }
+    got = {r["doc_id"] for r in
+           dedup.exact_dedup_survivors(docs_df, "doc_id", "text").collect()}
+    assert got == window_survivors
+    assert got == {1, 3, 4, 5, 6}  # doc 2 is the exact dup of 1
