@@ -23,7 +23,9 @@ with AQE skew-join as the runtime backstop on the bucket key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup
@@ -93,6 +95,88 @@ def curate_documents(
         )
     else:
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        exact.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang_id", "quality_score")
+    )
+
+
+def _stage_done(spark: SparkSession, path: str) -> bool:
+    """A stage is committed iff its parquet _SUCCESS marker exists (the
+    same commit protocol Spark's own FileOutputCommitter uses — a killed
+    write leaves no marker, so the stage reruns)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_SUCCESS"))
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
+def curate_documents_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    ckpt_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.3,
+    minhash_k: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Transitive curation with per-stage parquet checkpoints, so a killed
+    job resumes PAST completed stages instead of re-running them — in
+    particular past the iterative connected-components step, whose rounds
+    are the expensive part on a big pair graph:
+
+        <ckpt>/exact     filters + exact-dedup survivors (with text)
+        <ckpt>/pairs     MinHash star edges over the survivors
+        <ckpt>/clusters  connected components of the pairs (EAGER stage)
+
+    Each stage is skipped when its parquet _SUCCESS marker exists (the
+    atomic-commit convention run_job's manifest also relies on); a stage
+    killed mid-write leaves no marker and reruns cleanly. Returns the
+    surviving (doc_id, lang_id, quality_score) rows, lazily, from the
+    committed tables.
+
+    Results are identical to ``curate_documents(transitive=True)`` —
+    pinned by tests/test_curation_and_sources.py."""
+    exact_path = os.path.join(ckpt_dir, "exact")
+    pairs_path = os.path.join(ckpt_dir, "pairs")
+    clusters_path = os.path.join(ckpt_dir, "clusters")
+
+    if not _stage_done(spark, exact_path):
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            lang_id_col(F.col(text_col)).alias("lang_id"),
+            quality_score_col(F.col(text_col)).alias("quality_score"),
+        ).where(
+            (lang_id_col(F.col(text_col)) == lang)
+            & (quality_score_col(F.col(text_col)) >= min_quality)
+        )
+        dedup.exact_dedup_survivors(base, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(exact_path)
+    exact = spark.read.parquet(exact_path)
+
+    if not _stage_done(spark, pairs_path):
+        dedup.minhash_star_edges(
+            exact, "doc_id", "text", k=minhash_k, band_rows=band_rows
+        ).write.mode("overwrite").parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+
+    if not _stage_done(spark, clusters_path):
+        from ..operators.graph import dedup_clusters
+
+        # the EAGER iterative stage: reads only the committed id-pair
+        # table (text lineage ended at the pairs checkpoint), runs the
+        # CC rounds, commits clusters — the one stage worth resuming past
+        dedup_clusters(pairs).write.mode("overwrite").parquet(clusters_path)
+    clusters = spark.read.parquet(clusters_path)
+
+    losers = clusters.where(F.col("doc_id") != F.col("canonical_id")).select(
+        "doc_id"
+    )
     return (
         exact.join(losers, "doc_id", "left_anti")
         .select("doc_id", "lang_id", "quality_score")

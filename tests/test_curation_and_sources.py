@@ -262,3 +262,71 @@ def test_read_results_tolerates_corrupt_files_only_when_asked(spark, tmp_path):
     assert [r.url for r in rows] == ["u1"]
     with _pytest.raises(Exception):
         read_results(spark, p).collect()  # default surfaces the corruption
+
+
+# ---------------------------------------------------------------------------
+# checkpointed transitive curation (kill-resume across the CC stage)
+# ---------------------------------------------------------------------------
+
+CKPT_DOCS = [
+    # near-dup chain 1~2~3 (one component, canonical 1), exact dup 4==5,
+    # unique 6; all English-looking so the lang/quality filters keep them
+    (1, "the quick brown fox jumps over the lazy dog and the cat today ok"),
+    (2, "the quick brown fox jumps over the lazy dog and the cat today no"),
+    (3, "the quick brown fox jumps over the lazy dog and the cat today so"),
+    (4, "the completely different second document with the other words in it"),
+    (5, "the completely different second document with the other words in it"),
+    (6, "the third unique document that shares nothing with the other pages"),
+]
+
+
+def test_checkpointed_curation_matches_transitive(spark, tmp_path):
+    from documentprocessor_spark.plans.curate import (
+        curate_documents_checkpointed)
+
+    docs = spark.createDataFrame(CKPT_DOCS, ["doc_id", "text"])
+    want = {r["doc_id"] for r in
+            curate_documents(docs, transitive=True).collect()}
+    got_df = curate_documents_checkpointed(spark, docs, str(tmp_path / "ck"))
+    got = {r["doc_id"] for r in got_df.collect()}
+    assert got == want and 1 in got and 4 in got and 6 in got
+
+
+def test_checkpointed_curation_resumes_past_completed_stages(
+    spark, tmp_path, monkeypatch
+):
+    """Kill-resume across the iterative CC stage: after a full run, a
+    second invocation must NOT re-run pair generation or CC (their
+    checkpoints carry _SUCCESS); after deleting only the clusters commit
+    (a job killed mid-CC), the rerun recomputes CC from the COMMITTED
+    pairs table without touching the upstream text stages."""
+    import shutil
+
+    from documentprocessor_spark.operators import dedup as dedup_mod
+    from documentprocessor_spark.operators import graph as graph_mod
+    from documentprocessor_spark.plans import curate as curate_mod
+
+    docs = spark.createDataFrame(CKPT_DOCS, ["doc_id", "text"])
+    ck = str(tmp_path / "ck")
+    first = {r["doc_id"] for r in
+             curate_mod.curate_documents_checkpointed(spark, docs, ck).collect()}
+
+    def boom(*a, **k):
+        raise AssertionError("completed stage was re-run on resume")
+
+    real_dedup_clusters = graph_mod.dedup_clusters
+    # full resume: NO stage recomputes
+    monkeypatch.setattr(dedup_mod, "exact_dedup_survivors", boom)
+    monkeypatch.setattr(dedup_mod, "minhash_star_edges", boom)
+    monkeypatch.setattr(graph_mod, "dedup_clusters", boom)
+    again = {r["doc_id"] for r in
+             curate_mod.curate_documents_checkpointed(spark, docs, ck).collect()}
+    assert again == first
+
+    # killed mid-CC: clusters commit gone, pairs still committed -> only
+    # the CC stage reruns (text stages stay monkeypatch-poisoned)
+    shutil.rmtree(str(tmp_path / "ck" / "clusters"))
+    monkeypatch.setattr(graph_mod, "dedup_clusters", real_dedup_clusters)
+    resumed = {r["doc_id"] for r in
+               curate_mod.curate_documents_checkpointed(spark, docs, ck).collect()}
+    assert resumed == first
