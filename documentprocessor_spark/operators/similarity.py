@@ -209,6 +209,93 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     )
 
 
+DEFAULT_IVF_CENTROIDS = 32
+DEFAULT_NPROBE = 4
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = DEFAULT_IVF_CENTROIDS,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(centroid_id, centroid): a deterministic coarse quantizer — the
+    n_centroids corpus vectors with the smallest md5(vec_id) (the KMV
+    bottom-k sample, cf. operators/sketch.py). No RNG state, no Lloyd
+    iterations: sampled-centroid IVF-flat trades a few percent of recall
+    for a fully deterministic, engine-portable index — every stage is
+    oracle-checkable, and rebuilds on any cluster give byte-identical
+    assignments (SURVEY.md §2.5 H13's determinism rule)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
+        )
+        .orderBy(F.md5(F.col("centroid_id").cast("string")).asc(),
+                 F.col("centroid_id").asc())
+        .limit(n_centroids)
+    )
+
+
+def _nearest_centroids(vectors: DataFrame, centroids: DataFrame, vec_alias: str,
+                       n_lists: int) -> DataFrame:
+    """Rank centroids per vector by rounded cosine (centroid_id tiebreak);
+    keep the n_lists nearest. The centroid set is broadcast — the corpus
+    side never shuffles to be assigned."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "c_cosine", F.round(cosine_col(F.col(vec_alias), F.col("centroid")), 6)
+    )
+    w = Window.partitionBy(vectors.columns[0]).orderBy(
+        F.col("c_cosine").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .where(F.col("c_rank") <= n_lists)
+        .drop("centroid", "c_cosine", "c_rank")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             k: int = DEFAULT_K,
+             n_centroids: int = DEFAULT_IVF_CENTROIDS,
+             nprobe: int = DEFAULT_NPROBE,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search: corpus vectors are
+    assigned to their nearest coarse centroid's list; each query probes its
+    ``nprobe`` nearest lists and scores only those candidates.
+
+    The relational IVF shape at 10^9 vectors: the index build is one
+    broadcast-join pass (corpus never shuffles — centroids come to it) and
+    the list assignment is the partition key, so a probe is an equi-join
+    on list_id touching nprobe/n_centroids of the corpus instead of all of
+    it — same contract as FAISS IVF-flat, expressed as joins. Recall<1 by
+    construction; raise nprobe to trade cost for recall (nprobe =
+    n_centroids degrades to exact brute force over lists).
+
+    Returns (query_id, vec_id, cosine, rank), self-matches excluded,
+    fully deterministic (rounded-cosine ranking keys + id tiebreaks).
+    """
+    centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # index: every corpus vector in exactly ONE list (its nearest centroid)
+    indexed = _nearest_centroids(c, centroids, "cvec", 1).withColumnRenamed(
+        "centroid_id", "list_id"
+    )
+    # probe: each query fans out to its nprobe nearest lists
+    probes = _nearest_centroids(q, centroids, "qvec", nprobe).withColumnRenamed(
+        "centroid_id", "list_id"
+    )
+    scored = (
+        indexed.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.95,
                              bits: int = DEFAULT_LSH_BITS,
                              id_col: str = "vec_id",

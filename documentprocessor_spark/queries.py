@@ -1354,6 +1354,77 @@ def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_vectorized(emb, queries, k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the FAISS
+    IVF-flat contract as joins (similarity.ivf_topk): deterministic
+    bottom-md5 sampled centroids, one-list corpus assignment via a
+    broadcast argmax pass, queries probe their 3 nearest of 16 lists."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=3)
+
+
+_ORACLE_IVF = """
+    with cent as (
+        select vec_id as centroid_id, embedding as centroid
+        from embeddings
+        order by md5(cast(vec_id as varchar)) asc, vec_id asc
+        limit 16
+    ),
+    -- cosine(vector, centroid) for every (corpus/query vector, centroid)
+    vc as (
+        select e.vec_id, c.centroid_id,
+            round(sum(cast(e.embedding[i + 1] as double) * cast(c.centroid[i + 1] as double))
+                / (sqrt(sum(cast(e.embedding[i + 1] as double) * cast(e.embedding[i + 1] as double)))
+                 * sqrt(sum(cast(c.centroid[i + 1] as double) * cast(c.centroid[i + 1] as double)))), 6)
+            as c_cosine
+        from embeddings e cross join cent c,
+            lateral unnest(range(len(e.embedding))) as u(i)
+        group by e.vec_id, c.centroid_id
+    ),
+    ranked_vc as (
+        select vec_id, centroid_id,
+            row_number() over (partition by vec_id
+                               order by c_cosine desc, centroid_id asc) as rn
+        from vc
+    ),
+    assign as (
+        select vec_id, centroid_id as list_id from ranked_vc where rn = 1
+    ),
+    probe as (
+        select vec_id as query_id, centroid_id as list_id
+        from ranked_vc where rn <= 3 and vec_id < 3
+    ),
+    cand as (
+        select p.query_id, a.vec_id
+        from probe p join assign a using (list_id)
+        where a.vec_id != p.query_id
+    ),
+    scored as (
+        select cand.query_id, cand.vec_id,
+            round(sum(cast(q.embedding[i + 1] as double) * cast(c.embedding[i + 1] as double))
+                / (sqrt(sum(cast(q.embedding[i + 1] as double) * cast(q.embedding[i + 1] as double)))
+                 * sqrt(sum(cast(c.embedding[i + 1] as double) * cast(c.embedding[i + 1] as double)))), 6)
+            as cosine
+        from cand
+        join embeddings q on q.vec_id = cand.query_id
+        join embeddings c on c.vec_id = cand.vec_id,
+            lateral unnest(range(len(q.embedding))) as u(i)
+        group by cand.query_id, cand.vec_id
+    ),
+    ranked as (
+        select query_id, vec_id, cosine,
+            row_number() over (partition by query_id
+                               order by cosine desc, vec_id asc) as rank
+        from scored
+    )
+    select query_id, vec_id, cosine, cast(rank as int) as rank
+    from ranked where rank <= 5
+"""
+
+
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH-bucketed ANN top-k (similarity.lsh_bucketed_topk): candidates
     share the query's sign-random-projection bucket; exact cosine + window
@@ -4294,10 +4365,11 @@ QUERIES = {
     "session_window_events": q_session_window_events,
     "c4_line_filter": q_c4_line_filter,
     "dedup_clusters": q_dedup_clusters,
-    # new in round 4: exact-substring span dedup (Lee et al. ExactSubstr)
-    # and the stateful-streaming certification row
+    # new in round 4: exact-substring span dedup (Lee et al. ExactSubstr),
+    # the stateful-streaming certification row, and IVF ANN search
     "dedup_spans": q_dedup_spans,
     "streaming_running_totals": q_streaming_running_totals,
+    "ivf_topk": q_ivf_topk,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
     # top directive): the three r3 local-only rows, plus minhash signatures
     # whose operator changed this round (numeric bigint minhash — must
@@ -4324,7 +4396,6 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
     "text_stats": q_text_stats,
-    "lang_id_counts": q_lang_counts,
     "similarity_cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     # --- tail --- (position 51+): each op here is either certified by
@@ -4342,6 +4413,9 @@ QUERIES = {
     "s4_multipage_order": q_s4_multipage_order,
     "m4_cord_parse": q_m4_cord_parse,
     "h7_date_iso": q_h7_date_iso,
+    # double-certified like the six above; its CASE kernel is also
+    # exercised by the in-window text_stats + curate_documents rows
+    "lang_id_counts": q_lang_counts,
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "p_ops_image_math": q_p_ops_image_math,
     "url_canonicalization": q_url_canonicalization,
@@ -4373,6 +4447,7 @@ QUERIES = {
 ORACLES = {
     "dedup_spans": _ORACLE_DEDUP_SPANS,
     "streaming_running_totals": _ORACLE_STREAMING_TOTALS,
+    "ivf_topk": _ORACLE_IVF,
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,

@@ -106,3 +106,54 @@ def test_vectorized_topk_query_collect_guard(spark, emb_df, monkeypatch):
     # under the limit still works
     out = similarity.cosine_topk_vectorized(emb_df, emb_df.limit(2), k=3)
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_assignment_is_one_list_per_vector(emb_df):
+    cents = similarity.ivf_centroids(emb_df, n_centroids=8)
+    assert cents.count() == 8
+    indexed = similarity._nearest_centroids(
+        emb_df.selectExpr("vec_id", "embedding as cvec"), cents, "cvec", 1
+    )
+    assert indexed.count() == N  # every vector in exactly one list
+    assert indexed.select("vec_id").distinct().count() == N
+
+
+def test_ivf_full_probe_equals_exact(emb_df):
+    """nprobe == n_centroids degrades IVF to exact brute force: every list
+    is probed, so the candidate set is the whole corpus."""
+    queries = emb_df.where("vec_id < 3")
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in similarity.cosine_topk(emb_df, queries, k=5).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["vec_id"]
+           for r in similarity.ivf_topk(
+               emb_df, queries, k=5, n_centroids=8, nprobe=8).collect()}
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall_and_validity(emb_df):
+    """With nprobe < n_centroids the result must be a valid scored subset:
+    every returned cosine matches the exact cosine for that pair, ranks are
+    dense per query, and recall@5 is nonzero."""
+    queries = emb_df.where("vec_id < 3")
+    exact = similarity.cosine_topk(emb_df, queries, k=5).collect()
+    exact_pairs = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    got = similarity.ivf_topk(emb_df, queries, k=5, n_centroids=8, nprobe=3).collect()
+    assert got, "IVF returned nothing"
+    by_q = {}
+    all_cos = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb_df, queries, k=N).collect()
+    }
+    for r in got:
+        assert r["query_id"] != r["vec_id"]
+        assert all_cos[(r["query_id"], r["vec_id"])] == r["cosine"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    hits = sum(1 for p in exact_pairs if p in {(r["query_id"], r["vec_id"]) for r in got})
+    assert hits > 0
