@@ -57,10 +57,19 @@ def shingles_col(text: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
 def doc_shingles(df: DataFrame, id_col: str, text_col: str,
                  n: int = DEFAULT_SHINGLE_N) -> DataFrame:
     """Long (id, shingle) pairs; text column dropped before the explode so
-    the shuffle payload is just id+shingle."""
+    the shuffle payload is just id+shingle.
+
+    The projected (id, text) relation is parallelism-rescued first: a
+    single-row-group source otherwise serializes the shingle explosion +
+    hashing on one core (no-op on well-partitioned inputs — see
+    partitioning.ensure_min_parallelism)."""
+    from ..partitioning import ensure_min_parallelism
+
+    slim = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    )
     return (
-        df.select(F.col(id_col).alias("doc_id"),
-                  shingles_col(F.col(text_col), n).alias("sh"))
+        slim.select("doc_id", shingles_col(F.col("_t"), n).alias("sh"))
         .select("doc_id", F.explode("sh").alias("shingle"))
     )
 
@@ -84,6 +93,13 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, canonical_id, group_size): canonical = min id per sha2 group.
 
     One shuffle on the 64-hex digest; group_size>1 marks duplicates.
+
+    Scale note: the window has no map-side partial aggregation, so a
+    mass-duplicated page concentrates its whole group (text included) on
+    one reducer. That is inherent to this operator's OUTPUT (a per-row
+    canonical/group_size annotation). Pipelines that only need the
+    surviving rows should use exact_dedup_survivors below — groupBy
+    winners + semi-join, skew-immune.
     """
     h = F.sha2(F.col(text_col), 256).alias("content_hash")
     w = Window.partitionBy("content_hash")
@@ -383,8 +399,13 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
             ),
         ),
     ).otherwise(F.array().cast("array<struct<span_start:bigint,win_hash:bigint>>"))
+    from ..partitioning import ensure_min_parallelism
+
+    slim = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+    )
     windows = (
-        df.select(F.col(id_col).alias("doc_id"), win_structs.alias("w"))
+        slim.select("doc_id", win_structs.alias("w"))
         .select("doc_id", F.explode("w").alias("w"))
         .select("doc_id", "w.span_start", "w.win_hash")
     )

@@ -70,10 +70,21 @@ COMMENTARY = {
         "never text."
     ),
     "curate_documents": (
-        "The full curation plan: native lang/quality filters reach the "
-        "scan; exact dedup is one shuffle on sha2(text); the MinHash band "
-        "drop joins on (band, band_hash) — an equi-join with AQE skew "
-        "handling, never all-pairs."
+        "The full curation plan, round-4 skew-safe forms: native "
+        "lang/quality filters reach the scan; exact dedup is groupBy "
+        "winners over (hash, id) + semi-join on the unique doc_id (text "
+        "never shuffles, map-side combine absorbs a mass-duplicated "
+        "page); the near-dup drop is the MinHash STAR stage — per-bucket "
+        "min + join back, O(bucket) rows even when a templated crawl "
+        "makes one LSH bucket hold a third of the corpus."
+    ),
+    "ivf_topk": (
+        "IVF ANN as joins: the 16-centroid quantizer broadcasts to both "
+        "assignment passes (the corpus never shuffles to be indexed); "
+        "probing is an equi-join on list_id touching ~nprobe/n_centroids "
+        "of the corpus; per-query top-k is one window Exchange on "
+        "query_id. Cosines are native aggregate/zip_with exprs in "
+        "codegen — no Python anywhere."
     ),
     "repetition_stats": (
         "Gopher repetition filters as pure higher-order functions: the "
