@@ -437,6 +437,56 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                           k: int = DEFAULT_SPAN_K,
+                           min_docs: int = 2,
+                           df_cap: int = DEFAULT_SPAN_DF_CAP) -> DataFrame:
+    """The REMOVAL step of ExactSubstr dedup (Lee et al. 2022 cut the
+    duplicated byte ranges out of every document; this is the token-range
+    twin): returns (doc_id, clean_text, n_tokens_removed) where clean_text
+    is the original token stream with every cross-document duplicated span
+    (per ``duplicate_spans``) deleted.
+
+    Plan shape: spans collect per doc (bounded: spans are merged maximal
+    ranges, not windows), broadcast-eligible left join back to the corpus,
+    then the cut is a native filter over the token array inside codegen —
+    the text column is touched exactly once, map-side, after the id-only
+    span machinery."""
+    spans = (
+        duplicate_spans(df, id_col, text_col, k, min_docs, df_cap)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"),
+                         (F.col("span_start") + F.col("span_len")).alias("e"))
+            ).alias("cut")
+        )
+    )
+    toks = F.split(F.col(text_col), " ")
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — inline predicate
+        F.col("cut"), lambda c: (i >= c.s) & (i < c.e)
+    )
+    kept = F.filter(indexed, lambda x: ~covered(x.i))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cut").isNull(), F.col(text_col)
+            ).otherwise(
+                F.array_join(F.transform(kept, lambda x: x.t), " ")
+            ).alias("clean_text"),
+            F.when(F.col("cut").isNull(), F.lit(0).cast("long")).otherwise(
+                (F.size(toks) - F.size(kept)).cast("long")
+            ).alias("n_tokens_removed"),
+        )
+    )
+
+
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """Portable SimHash: bit j's vote per token = +1 if the first hex char of
     md5(j || ':' || token) is in 0-7, else −1; bit set iff the sum > 0.

@@ -1080,6 +1080,71 @@ _ORACLE_DEDUP_SPANS = """
 """
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr REMOVAL step: every cross-document duplicated
+    20-token span cut out of each document's token stream
+    (dedup.remove_duplicate_spans — detection joined back and applied as
+    a native token-array filter in codegen)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, "doc_id", "text", k=20)
+
+
+# same span CTEs as _ORACLE_DEDUP_SPANS, then: tokens not covered by any
+# span survive, string_agg in position order rebuilds the text; docs whose
+# every token is covered collapse to '' via the left-join coalesce.
+_ORACLE_SPAN_REMOVAL = """
+    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
+    win as (
+        select doc_id, i as span_start,
+            ('0x' || substr(md5(array_to_string(toks[i + 1:i + 20], ' ')), 1, 15))::bigint as win_hash
+        from tok, lateral unnest(range(len(toks) - 19)) as u(i)
+    ),
+    dup as (
+        select win_hash from win
+        group by win_hash
+        having count(distinct doc_id) between 2 and 1000
+    ),
+    occ as (select w.doc_id, w.span_start from win w join dup using (win_hash)),
+    lagged as (
+        select doc_id, span_start,
+            lag(span_start) over (partition by doc_id order by span_start) as prev_s
+        from occ
+    ),
+    runs as (
+        select doc_id, span_start,
+            sum(case when prev_s is null or span_start - prev_s > 20 then 1 else 0 end)
+                over (partition by doc_id order by span_start
+                      rows between unbounded preceding and current row) as run_id
+        from lagged
+    ),
+    spans as (
+        select doc_id, min(span_start) as s, max(span_start) + 20 as e
+        from runs group by doc_id, run_id
+    ),
+    toks2 as (
+        select doc_id, i, toks[i + 1] as t
+        from tok, lateral unnest(range(len(toks))) as u(i)
+    ),
+    kept as (
+        select t2.doc_id, t2.i, t2.t from toks2 t2
+        where not exists (
+            select 1 from spans sp
+            where sp.doc_id = t2.doc_id and t2.i >= sp.s and t2.i < sp.e
+        )
+    ),
+    agg as (
+        select doc_id, string_agg(t, ' ' order by i) as clean_text,
+            count(*) as n_kept
+        from kept group by doc_id
+    )
+    select d.doc_id,
+        coalesce(a.clean_text, '') as clean_text,
+        cast(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) as bigint)
+            as n_tokens_removed
+    from documents d left join agg a using (doc_id)
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -4368,6 +4433,7 @@ QUERIES = {
     # new in round 4: exact-substring span dedup (Lee et al. ExactSubstr),
     # the stateful-streaming certification row, and IVF ANN search
     "dedup_spans": q_dedup_spans,
+    "dedup_span_removal": q_dedup_span_removal,
     "streaming_running_totals": q_streaming_running_totals,
     "ivf_topk": q_ivf_topk,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
@@ -4392,7 +4458,6 @@ QUERIES = {
     "pdf_extract": q_pdf_extract,
     "repetition_stats": q_repetition_stats,
     "asof_purchase_attribution": q_asof_purchase_attribution,
-    "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
     "text_stats": q_text_stats,
@@ -4416,6 +4481,9 @@ QUERIES = {
     # double-certified like the six above; its CASE kernel is also
     # exercised by the in-window text_stats + curate_documents rows
     "lang_id_counts": q_lang_counts,
+    # double-certified r02+r03, code unchanged; rotated out for the round-4
+    # span-removal row
+    "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "p_ops_image_math": q_p_ops_image_math,
     "url_canonicalization": q_url_canonicalization,
@@ -4446,6 +4514,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_spans": _ORACLE_DEDUP_SPANS,
+    "dedup_span_removal": _ORACLE_SPAN_REMOVAL,
     "streaming_running_totals": _ORACLE_STREAMING_TOTALS,
     "ivf_topk": _ORACLE_IVF,
     "o1_ocr_roundtrip": _ORACLE_O1,

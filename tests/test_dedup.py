@@ -231,3 +231,25 @@ def test_exact_dedup_survivors_equals_window_form(docs_df):
            dedup.exact_dedup_survivors(docs_df, "doc_id", "text").collect()}
     assert got == window_survivors
     assert got == {1, 3, 4, 5, 6}  # doc 2 is the exact dup of 1
+
+
+def test_remove_duplicate_spans_cuts_and_passes_through(span_docs_df):
+    """Docs 10/11 lose exactly their shared 8-token prefix; untouched docs
+    pass through byte-identical with n_tokens_removed 0."""
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in dedup.remove_duplicate_spans(
+               span_docs_df, "doc_id", "text", k=4).collect()}
+    assert got[10] == ("X1 X2 X3 X4 X5", 8)
+    assert got[11] == ("Y1 Y2 Y3 Y4 Y5", 8)
+    assert got[12] == (SPAN_DOCS[2][1], 0)
+    assert got[13] == (SPAN_DOCS[3][1], 0)  # within-doc repeats: no cut
+
+
+def test_remove_duplicate_spans_fully_covered_doc_empties(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in dedup.remove_duplicate_spans(
+               docs, "doc_id", "text", k=3).collect()}
+    assert got == {1: ("", 6), 2: ("", 6)}
