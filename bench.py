@@ -59,6 +59,7 @@ HEADLINE = [
     "top_part_per_supplier",
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard",
+    "dedup_spans",
     "similarity_cosine_topk",
     "text_stats",
     "h8_sessionize_events",

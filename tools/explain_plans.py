@@ -50,8 +50,10 @@ COMMENTARY = {
         "runs BEFORE the join back so the worst surviving join key is "
         "df_cap rows by construction (site boilerplate — the hottest "
         "hashes — never reaches the join); per-doc interval union is one "
-        "window Exchange on doc_id. All shuffles carry 8-byte keys, the "
-        "text column never shuffles."
+        "window Exchange on doc_id. Post-rescue shuffles carry 8-byte "
+        "keys only; the leading Exchange is the single-row-group "
+        "parallelism rescue (plan-time no-op on multi-split inputs — "
+        "partitioning.py)."
     ),
     "similarity_cosine_topk": (
         "Query side broadcast; dot products are native aggregate/zip_with "
