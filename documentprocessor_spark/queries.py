@@ -2637,6 +2637,75 @@ _ORACLE_STREAMING_TOTALS = """
 """
 
 
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time TUMBLING-WINDOW aggregation certified against
+    the batch oracle: the events table streamed as 3 files (one micro-batch
+    each), hourly window x event_type counts in complete mode, memory sink.
+    The window boundaries come from Spark's event-time window operator on
+    the STREAMING side — the oracle recomputes them relationally with
+    date_trunc. (Watermark/append finalization stays pytest-pinned in
+    tests/test_streaming.py; complete mode keeps the certification
+    deterministic under any batch split.)"""
+    import os
+    import re as _re4
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(src)
+    n_batch = batch.count()
+    tag = _re4.sub(r"\W", "_", sf_dir)
+    stream_dir = os.path.join(tempfile.gettempdir(), f"dp_winstream_src_{tag}")
+    batch.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    qname = "stream_win_" + tag
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.table(qname)
+    n_streamed = final.agg(F.sum("n_events")).collect()[0][0] or 0
+    if n_streamed != n_batch:
+        raise RuntimeError(
+            f"windowed stream aggregated {n_streamed} rows but batch read "
+            f"of {src} has {n_batch} — partial stream input"
+        )
+    return final
+
+
+# events.ts reads as TIMESTAMP_NTZ; Spark's window() on NTZ computes naive
+# epoch-aligned boundaries, which for whole hours equal DuckDB's
+# (always-naive) date_trunc — the same cross-engine idiom the certified
+# events_hourly_windows row pins (never route NTZ through session-tz
+# date_trunc on the Spark side). n_events: count(*) is BIGINT in both
+# engines (the HUGEINT rule applies to sum(), not count()).
+_ORACLE_STREAM_WINDOWED = """
+    select date_trunc('hour', ts) as window_start, event_type,
+        count(*) as n_events
+    from events
+    group by 1, 2
+"""
+
+
 def q_h9_line_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H9 per-line item parse through the REAL kernel
     (reference_semantics.extract_line_items, field_extractor.py:176-281)
@@ -4435,6 +4504,7 @@ QUERIES = {
     "dedup_spans": q_dedup_spans,
     "dedup_span_removal": q_dedup_span_removal,
     "streaming_running_totals": q_streaming_running_totals,
+    "streaming_windowed_counts": q_streaming_windowed_counts,
     "ivf_topk": q_ivf_topk,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
     # top directive): the three r3 local-only rows, plus minhash signatures
@@ -4445,7 +4515,6 @@ QUERIES = {
     "tpch_q10_returned_items": q_tpch_q10_returned_items,
     "dedup_minhash_signatures": q_dedup_minhash,
     # r02-certified, unique certifying row for their op — stay in window
-    "o4_normalize_boxes": q_o4_normalize,
     "s1_s2_binary_scan": q_s1_s2_binary_scan,
     "m1_token_classifier": q_m1_token_classifier,
     "m2_bio_entity_merge": q_bio_entity_merge,
@@ -4482,8 +4551,11 @@ QUERIES = {
     # exercised by the in-window text_stats + curate_documents rows
     "lang_id_counts": q_lang_counts,
     # double-certified r02+r03, code unchanged; rotated out for the round-4
-    # span-removal row
+    # span-removal and windowed-streaming rows (O4's truncate+clamp kernel
+    # also runs inside the in-window pipeline row, plus its pure twin in
+    # reference_semantics is pytest-pinned)
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
+    "o4_normalize_boxes": q_o4_normalize,
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "p_ops_image_math": q_p_ops_image_math,
     "url_canonicalization": q_url_canonicalization,
@@ -4516,6 +4588,7 @@ ORACLES = {
     "dedup_spans": _ORACLE_DEDUP_SPANS,
     "dedup_span_removal": _ORACLE_SPAN_REMOVAL,
     "streaming_running_totals": _ORACLE_STREAMING_TOTALS,
+    "streaming_windowed_counts": _ORACLE_STREAM_WINDOWED,
     "ivf_topk": _ORACLE_IVF,
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,

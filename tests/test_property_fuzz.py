@@ -240,3 +240,57 @@ def test_pii_spark_matches_python_re_fuzz(spark, texts):
             counts.append(len(re.findall(pattern, staged)))
             staged = re.sub(pattern, token, staged)
         assert got[i] == (staged, *counts), t
+
+
+# -- duplicate_spans ≡ pure-Python reference over random tiny corpora ------
+
+_span_vocab = list("abcdefgh")
+_span_doc = st.lists(
+    st.sampled_from(_span_vocab), min_size=0, max_size=20
+).map(" ".join)
+
+
+def _py_duplicate_spans(docs, k, min_docs=2, df_cap=1000):
+    """Straightforward set-based twin of dedup.duplicate_spans."""
+    from collections import defaultdict
+
+    wins = defaultdict(set)  # window text -> doc ids
+    per_doc = defaultdict(list)  # doc -> [start, ...]
+    for did, text in docs:
+        toks = text.split(" ")
+        for i in range(len(toks) - k + 1):
+            w = " ".join(toks[i:i + k])
+            wins[w].add(did)
+            per_doc[did].append((i, w))
+    dup = {w for w, ds in wins.items() if min_docs <= len(ds) <= df_cap}
+    out = set()
+    for did, occ in per_doc.items():
+        starts = sorted(i for i, w in occ if w in dup)
+        run = []
+        for s in starts:
+            if run and s - run[-1] > k:
+                out.add((did, run[0], run[-1] + k - run[0], len(run)))
+                run = []
+            run.append(s)
+        if run:
+            out.add((did, run[0], run[-1] + k - run[0], len(run)))
+    return out
+
+
+@given(st.lists(_span_doc, min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=5))
+@settings(max_examples=25, deadline=None)
+def test_duplicate_spans_matches_python_fuzz(spark, texts, k):
+    """The relational span machinery (window hash -> distinct count ->
+    join-back -> interval union) must agree with a direct set computation
+    on arbitrary tiny corpora — including duplicated docs, empty docs, and
+    docs shorter than k (the small vocab makes window collisions common)."""
+    from documentprocessor_spark.operators.dedup import duplicate_spans
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.n_windows)
+        for r in duplicate_spans(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == _py_duplicate_spans(docs, k)
