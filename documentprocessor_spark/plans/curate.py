@@ -41,11 +41,17 @@ def curate_documents(
     minhash_k: int = 8,
     band_rows: int = 2,
     transitive: bool = False,
+    exact_substr_k: int | None = None,
 ) -> DataFrame:
     """Returns the surviving (doc_id, token-stats) rows after all filters.
 
     Output columns: doc_id, lang_id, quality_score, kept_reason-free — the
-    caller joins back to the corpus for text.
+    caller joins back to the corpus for text. With ``exact_substr_k`` set,
+    an extra ``clean_text`` column carries the survivor's text with every
+    cross-document duplicated k-token span cut out
+    (dedup.remove_duplicate_spans — the Lee et al. ExactSubstr pass,
+    applied AFTER near-dup dropping so the span table is built over
+    survivors only).
 
     ``transitive=True`` replaces the one-pass pair drop with connected
     components over the band pairs (operators.graph.dedup_clusters):
@@ -95,10 +101,16 @@ def curate_documents(
         )
     else:
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return (
-        exact.join(losers, "doc_id", "left_anti")
-        .select("doc_id", "lang_id", "quality_score")
-    )
+    survivors = exact.join(losers, "doc_id", "left_anti")
+    if exact_substr_k is not None:
+        cleaned = dedup.remove_duplicate_spans(
+            survivors, "doc_id", "text", k=exact_substr_k
+        )
+        return (
+            survivors.join(cleaned, "doc_id")
+            .select("doc_id", "lang_id", "quality_score", "clean_text")
+        )
+    return survivors.select("doc_id", "lang_id", "quality_score")
 
 
 def _stage_done(spark: SparkSession, path: str) -> bool:

@@ -330,3 +330,20 @@ def test_checkpointed_curation_resumes_past_completed_stages(
     resumed = {r["doc_id"] for r in
                curate_mod.curate_documents_checkpointed(spark, docs, ck).collect()}
     assert resumed == first
+
+
+def test_curate_exact_substr_stage(spark):
+    """exact_substr_k adds a clean_text column with cross-doc duplicated
+    spans cut from SURVIVOR texts (built after near-dup dropping)."""
+    docs = spark.createDataFrame(
+        [(1, "the shared header line one two three " + "alpha beta gamma " * 3),
+         (2, "the shared header line one two three " + "delta epsilon zeta " * 3),
+         (3, "the totally different body with its own tokens here now")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in curate_documents(
+        docs, min_quality=0.0, exact_substr_k=5, minhash_k=2).collect()}
+    # both survivors lose the shared 7-token prefix; doc 3 is untouched
+    assert 1 in out and not out[1].startswith("the shared header")
+    assert "alpha beta gamma" in out[1]
+    assert out[3] == "the totally different body with its own tokens here now"
