@@ -353,6 +353,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 DEFAULT_SPAN_K = 50          # tokens per window, à la Lee et al. 2022
 DEFAULT_SPAN_DF_CAP = 1000   # drop windows present in more docs than this
 
+# The persisted `windows` intermediate of the latest duplicate_spans call —
+# same single-slot lifecycle as _JACCARD_CACHE above: each call releases
+# the previous handle, release_span_cache() frees the last one. Persisted
+# because the relation feeds BOTH the distinct-doc count and the join-back
+# probe side (different Exchange subtrees — ReuseExchange cannot dedup
+# them), and its production cost (md5 of every overlapping k-token window)
+# is the operator's dominant map work; at full crawl scale this
+# intermediate checkpoints to storage instead.
+_SPAN_CACHE: list[DataFrame] = []
+
+
+def release_span_cache() -> None:
+    """Unpersist the intermediate cached by the last duplicate_spans."""
+    while _SPAN_CACHE:
+        try:
+            _SPAN_CACHE.pop().unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                     k: int = DEFAULT_SPAN_K,
@@ -404,11 +423,14 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     slim = ensure_min_parallelism(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
     )
+    release_span_cache()
     windows = (
         slim.select("doc_id", win_structs.alias("w"))
         .select("doc_id", F.explode("w").alias("w"))
         .select("doc_id", "w.span_start", "w.win_hash")
+        .persist()
     )
+    _SPAN_CACHE.append(windows)
     dup_hashes = (
         windows.groupBy("win_hash")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

@@ -50,12 +50,17 @@ def pack_sequences(
     # `div` is exact integer division on the bigint running sum — the double
     # path floor(cum/budget) is exact only below 2^53 and diverges from the
     # oracle's `//` beyond it; the module's exact-integer discipline applies.
+    if not isinstance(budget, int) or budget <= 0:
+        raise ValueError(f"budget must be a positive int, got {budget!r}")
+    tmp_col = "__dp_pack_cum_before"
+    if tmp_col in df.columns:
+        raise ValueError(f"input already has a column named {tmp_col}")
     return (
-        df.select("*", cum_before.cast("long").alias("cum_before_"))
+        df.select("*", cum_before.cast("long").alias(tmp_col))
         .select(
             "*",
-            F.expr(f"cum_before_ div {int(budget)}").alias("pack_id"),
-            F.pmod(F.col("cum_before_"), F.lit(budget)).alias("pack_offset"),
+            F.expr(f"{tmp_col} div {budget}").alias("pack_id"),
+            F.pmod(F.col(tmp_col), F.lit(budget)).alias("pack_offset"),
         )
-        .drop("cum_before_")
+        .drop(tmp_col)
     )

@@ -6,13 +6,26 @@ as 1-2 partitions and serializes every downstream map — a 32-core session
 runs the expensive pre-shuffle work (shingle explosion, md5 hashing) on
 one core.
 
-``ensure_min_parallelism`` repartitions ONLY when the source plan yields
-fewer partitions than the session default parallelism. On production-scale
-inputs (thousands of file splits) it is a strict no-op decided at plan
-time — no blind text shuffle is ever added at 100 TB. It belongs in
-operators whose NEXT step is a shuffle anyway (the extra Exchange moves
-raw rows once so the heavy map fans out); map-only operators must stay
-zero-Exchange and are deliberately not rescued.
+``ensure_min_parallelism`` repartitions ONLY when (a) the plan is
+scan-rooted — no shuffle Exchange anywhere, so the scan's split count IS
+the map parallelism — and (b) that split count is below the session
+default parallelism. On production-scale inputs (thousands of file
+splits) it is a strict no-op decided at plan time, and on
+shuffle-descended inputs it is also a no-op (their parallelism is already
+governed by spark.sql.shuffle.partitions / AQE) — no blind text shuffle
+is ever added at 100 TB. It belongs in operators whose NEXT step is a
+shuffle anyway; map-only operators must stay zero-Exchange and are
+deliberately not rescued.
+
+Implementation note (review finding, round 4): the obvious probe —
+``df.rdd.getNumPartitions()`` — is WRONG under AQE: building the final
+RDD materializes every upstream shuffle stage (real Spark jobs at plan
+time, work later redone at execution), and the AQE-coalesced count of a
+small intermediate reads as 1, triggering exactly the blind repartition
+this module promises never to add. Instead we string-inspect the INITIAL
+adaptive plan (printing it executes nothing) to rule out shuffles, and
+take the partition count from the NON-adaptive static plan's RDD, whose
+construction is lazy — verified to launch zero jobs.
 """
 
 from __future__ import annotations
@@ -23,6 +36,19 @@ from pyspark.sql import DataFrame
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    qe = df._jdf.queryExecution()
+    # Any Exchange (shuffle OR broadcast) → leave the plan alone. Shuffle
+    # outputs are already spark.sql.shuffle.partitions-wide; broadcast-join
+    # plans cannot be partition-probed without EnsureRequirements (their
+    # static plan's exchange insertion is deferred under AQE), so they are
+    # conservatively not rescued — our shingle/window operators only ever
+    # see raw scans or shuffle-descended inputs.
+    if "Exchange" in qe.executedPlan().toString():
+        return df
+    try:
+        n = qe.sparkPlan().execute().getNumPartitions()
+    except Exception:  # non-executable static plan — leave untouched
+        return df
+    if n >= target:
         return df
     return df.repartition(target)

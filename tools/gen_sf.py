@@ -6,8 +6,9 @@ for local scale probes ABOVE sf0.1 (the driver only ships 0.001/0.01/0.1).
 
 Deterministic (numpy PCG64, seed 42), vectorized end-to-end, written with
 pyarrow (same physical encoding as the driver tables: plain timestamp[us],
-parquet-cpp writer). Row counts scale linearly from the sf0.1 reference:
-lineitem 6M/sf, orders 1.5M/sf, events 1M/sf, documents 500k·sf... etc.
+parquet-cpp writer). Row counts scale linearly from the sf0.1 reference
+(documents: 5,000 rows at sf0.1): lineitem 6M·sf, orders 1.5M·sf, events
+1M·sf, documents 50k·sf, embeddings 20k·sf.
 
 NOT a TPC-H dbgen replacement: correctness is certified against DuckDB on
 the driver's own tables; this data exists so plan transitions (broadcast →

@@ -44,9 +44,16 @@ JOIN_OBSERVED = ["tpch_q3_top_revenue", "tpch_q5_local_supplier",
 
 
 def join_strategies(df) -> dict[str, int]:
-    """Count join node types in the POST-EXECUTION adaptive plan (AQE has
-    replaced every logical join with its runtime choice by now)."""
+    """Count join node types in the FINAL adaptive plan. A noop write runs
+    its own QueryExecution, leaving this df's plan isFinalPlan=false
+    (review finding r4) — so collect() THIS QueryExecution first; the
+    observed queries return a handful of rows, so the collect is free."""
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=false" not in plan, "adaptive plan not finalized"
+    # the finalized adaptive plan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — count joins in the final section only
+    plan = plan.split("== Initial Plan ==")[0]
     return {
         k: plan.count(k)
         for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")

@@ -170,7 +170,7 @@ def main() -> None:
                 resume=False,
             ))
         docs = spark.read.parquet(f"{tmp}/docs")
-        n_star = None, None
+        n_star = None
 
         def run_star():
             nonlocal n_star
