@@ -200,6 +200,198 @@ class TemplateOcrEngine:
         return words
 
 
+class CCBeamOcrEngine:
+    """Connected-component line segmentation + beam-decoded character
+    sequences — the north_star's stated detector/recognizer architecture
+    (PaddleOCR det→rec, Tesseract's CC analysis), built with real
+    algorithms end-to-end; only the glyph MODEL is the cipher font:
+
+    1. 8-connectivity component labeling (two-pass union-find, pure numpy);
+    2. components cluster into LINES by transitive y-interval adjacency
+       (the font guarantees every glyph row carries ink, so one line's
+       fragments chain across the band; lines are 3 blank rows apart);
+    3. per line, x-touching components merge into glyphs, glyphs with gap
+       <= GLYPH_GAP into words — reproducing the projection segmentation
+       exactly on any image the renderer produces;
+    4. per word, BEAM SEARCH over per-glyph template log-likelihoods
+       (log P ∝ −α·hamming) plus a deterministic character-class bigram
+       prior — on clean glyphs the exact match dominates any prior bonus
+       by construction (α=3 > λ·max log-ratio ≈ 1), so clean pages decode
+       identically to TemplateOcrEngine (test-pinned); on corrupted
+       glyphs the prior lets context repair what greedy argmax misreads.
+
+    Swapping the cipher font for CNN glyph posteriors changes only
+    `_glyph_logprobs`; segmentation, beam, batching, schema stay.
+    """
+
+    name = "ccbeam"
+    ALPHA = 3.0      # log-likelihood per Hamming bit
+    LAMBDA = 0.5     # bigram-prior weight
+    BEAM = 4
+
+    @staticmethod
+    def _char_class(ch: str) -> int:
+        if ch.isalpha():
+            return 0
+        if ch.isdigit():
+            return 1
+        return 2
+
+    @classmethod
+    def _bigram_logp(cls, prev_cls: int, cur_cls: int) -> float:
+        # deterministic class-level LM: same class 0.7, else 0.15
+        import math
+
+        return math.log(0.7 if prev_cls == cur_cls else 0.15)
+
+    @staticmethod
+    def _label_components(ink: np.ndarray) -> list[dict]:
+        """Two-pass union-find 8-connectivity labeling, pure numpy +
+        python dict parents (images here are small; at scale this kernel
+        runs per-page inside the Arrow batch, not per-corpus)."""
+        h, w = ink.shape
+        labels = np.zeros((h, w), dtype=np.int32)
+        parent: list[int] = [0]
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        def union(a: int, b: int) -> None:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        nxt = 1
+        for y in range(h):
+            row = ink[y]
+            for x in np.flatnonzero(row):
+                neigh = []
+                if y:
+                    for dx in (-1, 0, 1):
+                        xx = x + dx
+                        if 0 <= xx < w and labels[y - 1, xx]:
+                            neigh.append(labels[y - 1, xx])
+                if x and labels[y, x - 1]:
+                    neigh.append(labels[y, x - 1])
+                if neigh:
+                    m = min(neigh)
+                    labels[y, x] = m
+                    for n in neigh:
+                        union(m, n)
+                else:
+                    labels[y, x] = nxt
+                    parent.append(nxt)
+                    nxt += 1
+        comps: dict[int, list[int]] = {}
+        ys, xs = np.nonzero(labels)
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            r = find(labels[y, x])
+            b = comps.setdefault(r, [y, y, x, x])
+            b[0] = min(b[0], y); b[1] = max(b[1], y)
+            b[2] = min(b[2], x); b[3] = max(b[3], x)
+        return [
+            {"y0": b[0], "y1": b[1] + 1, "x0": b[2], "x1": b[3] + 1}
+            for b in comps.values()
+        ]
+
+    def _glyph_logprobs(self, cell: np.ndarray) -> np.ndarray:
+        target = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+        h, w = min(cell.shape[0], GLYPH_H), min(cell.shape[1], GLYPH_W)
+        target[:h, :w] = cell[:h, :w]
+        dists = (_FONT_MATRIX != target.reshape(-1)).sum(axis=1)
+        return -self.ALPHA * dists.astype(np.float64)
+
+    def _beam_decode(self, cells: list[np.ndarray]) -> tuple[str, float]:
+        beams: list[tuple[float, str, int, float]] = [(0.0, "", -1, 0.0)]
+        # (total score, text, last char class, pure-likelihood sum)
+        for cell in cells:
+            lp = self._glyph_logprobs(cell)
+            order = np.argsort(-lp, kind="stable")[: self.BEAM * 2]
+            nxt = []
+            for score, text, last_cls, like in beams:
+                for ci in order.tolist():
+                    ch = _FONT_CHARS[ci]
+                    cls = self._char_class(ch)
+                    prior = (
+                        self.LAMBDA * self._bigram_logp(last_cls, cls)
+                        if last_cls >= 0 else 0.0
+                    )
+                    nxt.append(
+                        (score + lp[ci] + prior, text + ch, cls, like + lp[ci])
+                    )
+            # deterministic beam: score desc, then text asc as tiebreak
+            nxt.sort(key=lambda t: (-t[0], t[1]))
+            beams = nxt[: self.BEAM]
+        _, text, _, like = beams[0]
+        n = max(1, len(cells))
+        # like = −α·Σd, so 1 + like/(n·α·35) = 1 − mean(d)/35 — the same
+        # confidence scale as the template engine (exact match → 1.0)
+        conf = round(1.0 + like / (n * self.ALPHA * 35.0), 6)
+        return text, conf
+
+    def detect_and_recognize(self, img: np.ndarray) -> list[dict]:
+        if img.ndim == 3:
+            img = img[..., 0]
+        ink = img < 128
+        comps = self._label_components(ink)
+        if not comps:
+            return []
+        # lines: transitive y-interval adjacency (touch or overlap)
+        comps.sort(key=lambda c: (c["y0"], c["x0"]))
+        lines: list[list[dict]] = [[comps[0]]]
+        band_end = comps[0]["y1"]
+        for c in comps[1:]:
+            if c["y0"] <= band_end:
+                lines[-1].append(c)
+                band_end = max(band_end, c["y1"])
+            else:
+                lines.append([c])
+                band_end = c["y1"]
+        words = []
+        for line in lines:
+            line.sort(key=lambda c: c["x0"])
+            ly0 = min(c["y0"] for c in line)
+            ly1 = max(c["y1"] for c in line)
+            # x-touching components -> glyphs
+            glyphs: list[list[dict]] = [[line[0]]]
+            for c in line[1:]:
+                if c["x0"] <= max(g["x1"] for g in glyphs[-1]):
+                    glyphs[-1].append(c)
+                else:
+                    glyphs.append([c])
+            spans = [
+                (min(g["x0"] for g in gl), max(g["x1"] for g in gl))
+                for gl in glyphs
+            ]
+            # glyphs -> words on the GLYPH_GAP threshold
+            groups: list[list[tuple[int, int]]] = [[spans[0]]]
+            for prev, cur in zip(spans, spans[1:]):
+                if cur[0] - prev[1] > GLYPH_GAP:
+                    groups.append([cur])
+                else:
+                    groups[-1].append(cur)
+            band = ink[ly0:ly1]
+            for group in groups:
+                cells = [band[:, gx0:gx1] for gx0, gx1 in group]
+                text, conf = self._beam_decode(cells)
+                if not text.strip():
+                    continue
+                words.append(
+                    {
+                        "text": text,
+                        "x0": int(group[0][0]),
+                        "y0": int(ly0),
+                        "x1": int(group[-1][1]),
+                        "y1": int(ly1),
+                        "confidence": conf,
+                    }
+                )
+        return words
+
+
 class FailingOcrEngine:
     """Stand-in for an unavailable backend (the ImportError path of
     ocr_engine.py:277-282)."""
@@ -216,6 +408,8 @@ def get_ocr_engine(name: str = "template"):
     engine when the preferred backend is unavailable."""
     if name in ("template", "auto"):
         return TemplateOcrEngine()
+    if name == "ccbeam":
+        return CCBeamOcrEngine()
     if name == "unavailable":
         return FailingOcrEngine()
     raise ValueError(f"unknown OCR engine: {name}")

@@ -110,3 +110,78 @@ def test_spark_ocr_to_extraction_end_to_end(spark):
         " ".join(ln.split()) for ln in RECEIPT_LINES if ln.strip()
     )
     assert out["ocr://two-line"]["total_amount"]["value"] == "26.98"
+
+
+# ---------------------------------------------------------------------------
+# CCBeamOcrEngine: CC segmentation + beam decode (north_star architecture)
+# ---------------------------------------------------------------------------
+
+
+def test_ccbeam_equals_template_on_clean_pages():
+    """On renderer-clean pages the CC segmentation must reproduce the
+    projection segmentation exactly and the beam (whose prior cannot
+    overcome any integer Hamming advantage at alpha=3, lambda=0.5) must
+    decode identically — boxes, texts, confidences."""
+    from documentprocessor_spark.operators.ocr_kernel import (
+        CCBeamOcrEngine, TemplateOcrEngine, render_page)
+
+    img, _ = render_page(
+        ["Hello World 123", "Total $45.67 TAX 0.99", "a b c", "Zz9?!"]
+    )
+    key = lambda w: (w["y0"], w["x0"])
+    t = sorted(TemplateOcrEngine().detect_and_recognize(img), key=key)
+    c = sorted(CCBeamOcrEngine().detect_and_recognize(img), key=key)
+    assert t == c
+
+
+def test_ccbeam_prior_repairs_equidistant_tie():
+    """A corrupted glyph EXACTLY equidistant between a digit and an
+    (earlier-in-font-order) letter: greedy template matching tie-breaks to
+    the letter, the beam's character-class bigram prior repairs it in a
+    digit context. Search the cipher font for such a pair, construct the
+    ambiguous cell, embed it after two clean digits."""
+    import numpy as np
+
+    from documentprocessor_spark.operators.ocr_kernel import (
+        FONT, GLYPH_GAP, GLYPH_H, GLYPH_W, MARGIN, CCBeamOcrEngine,
+        TemplateOcrEngine, _FONT_CHARS, _FONT_MATRIX, render_page)
+
+    found = None
+    for d_ch in "0123456789":
+        for l_ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+            a = FONT[d_ch].reshape(-1)
+            b = FONT[l_ch].reshape(-1)
+            diff = np.flatnonzero(a != b)
+            if len(diff) % 2:
+                continue
+            cell = a.copy()
+            cell[diff[: len(diff) // 2]] = b[diff[: len(diff) // 2]]
+            dists = (_FONT_MATRIX != cell).sum(axis=1)
+            best = dists.min()
+            winners = {_FONT_CHARS[i] for i in np.flatnonzero(dists == best)}
+            if winners == {d_ch, l_ch} and best == len(diff) // 2:
+                found = (d_ch, l_ch, cell.reshape(GLYPH_H, GLYPH_W))
+                break
+        if found:
+            break
+    assert found, "cipher font has no equidistant digit/letter pair"
+    d_ch, l_ch, cell = found
+
+    img, _ = render_page([f"12{d_ch}"])
+    # overwrite the third glyph cell with the ambiguous bitmap
+    x = MARGIN + 2 * (GLYPH_W + GLYPH_GAP)
+    patch = np.full((GLYPH_H, GLYPH_W), 255, dtype=np.uint8)
+    patch[cell] = 0
+    img[MARGIN:MARGIN + GLYPH_H, x:x + GLYPH_W] = patch
+
+    greedy = TemplateOcrEngine().detect_and_recognize(img)[0]["text"]
+    beamed = CCBeamOcrEngine().detect_and_recognize(img)[0]["text"]
+    assert greedy == f"12{l_ch}"  # font-order tiebreak misreads
+    assert beamed == f"12{d_ch}"  # class-bigram prior repairs it
+
+
+def test_ccbeam_engine_factory():
+    from documentprocessor_spark.operators.ocr_kernel import (
+        CCBeamOcrEngine, get_ocr_engine)
+
+    assert isinstance(get_ocr_engine("ccbeam"), CCBeamOcrEngine)
