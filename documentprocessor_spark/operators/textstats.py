@@ -309,3 +309,76 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .drop("score_micro")
     )
+
+
+def unigram_surprisal_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al. 2020
+    score documents by LM perplexity and keep/weight by quantile bucket),
+    rebuilt on an EXACT-INTEGER unigram surprisal so the ranking has no
+    float boundary anywhere (the tfidf_top_terms discipline — libm ln is
+    not ulp-pinned across engines):
+
+        surprisal(token) = length(bin(total_tokens div count(token)))
+                         = floor(log2(total/count)) + 1      (exact int)
+        surprisal_micro(doc) = (sum(surprisal) * 1e6) div n_tokens
+
+    Returns (doc_id, n_tokens, surprisal_micro, quality_bucket) where
+    bucket 1 holds the most common-language-like documents (lowest mean
+    surprisal) and n_buckets the most out-of-model ones — the two tails
+    are what a CCNet-style curation drops or down-weights.
+
+    Plan shape: token-count aggregate (one shuffle, map-side combined),
+    scalar total broadcast lazily (never a driver count), per-doc join on
+    token + per-doc aggregate (shuffles on token then doc_id), and bucket
+    boundaries as ONE exact-percentile scalar row broadcast into a
+    map-side fold — no global sort / single-partition window anywhere.
+    At petabyte scale swap the exact percentile for approx_percentile;
+    the assignment fold is unchanged.
+    """
+    from ..partitioning import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    ).select("doc_id", F.explode(tokens_col(F.col("_t"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
+    surprisal = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.length(F.bin(F.expr("total_tokens div cnt"))).cast("long").alias("s"),
+    )
+    per_doc = (
+        toks.join(surprisal, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("(sum(s) * 1000000) div count(*)").alias("surprisal_micro"),
+        )
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = per_doc.agg(
+        F.percentile("surprisal_micro", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_micro",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "bs",
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col("surprisal_micro") > b, F.lit(1)).otherwise(
+                        F.lit(0)
+                    ),
+                )
+            ).cast("int").alias("quality_bucket"),
+        )
+    )

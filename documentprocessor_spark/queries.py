@@ -1145,6 +1145,44 @@ _ORACLE_SPAN_REMOVAL = """
 """
 
 
+def q_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-quality bucketing (textstats.unigram_surprisal_quality):
+    exact-integer log2-quantized unigram surprisal per document, decile
+    buckets from exact percentiles broadcast into a map-side fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.unigram_surprisal_quality(docs, "doc_id", "text")
+
+
+_ORACLE_SURPRISAL = """
+    with tok as (
+        select doc_id, unnest(string_split(text, ' ')) as token from documents
+    ),
+    counts as (select token, count(*) as cnt from tok group by token),
+    total as (select cast(sum(cnt) as bigint) as total_tokens from counts),
+    surp as (
+        select token,
+            cast(length(bin(total_tokens // cnt)) as bigint) as s
+        from counts cross join total
+    ),
+    per_doc as (
+        select doc_id, count(*) as n_tokens,
+            cast((sum(s) * 1000000) // count(*) as bigint) as surprisal_micro
+        from tok join surp using (token)
+        group by doc_id
+    ),
+    bounds as (
+        select quantile_cont(surprisal_micro,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) as bs
+        from per_doc
+    )
+    select doc_id, n_tokens, surprisal_micro,
+        cast(1 + list_sum(list_transform(bs,
+            b -> case when surprisal_micro > b then 1 else 0 end)) as int)
+            as quality_bucket
+    from per_doc cross join bounds
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -4506,6 +4544,7 @@ QUERIES = {
     "streaming_running_totals": q_streaming_running_totals,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "ivf_topk": q_ivf_topk,
+    "surprisal_quality": q_surprisal_quality,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
     # top directive): the three r3 local-only rows, plus minhash signatures
     # whose operator changed this round (numeric bigint minhash — must
@@ -4526,7 +4565,6 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "pdf_extract": q_pdf_extract,
     "repetition_stats": q_repetition_stats,
-    "asof_purchase_attribution": q_asof_purchase_attribution,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
     "text_stats": q_text_stats,
@@ -4556,6 +4594,7 @@ QUERIES = {
     # reference_semantics is pytest-pinned)
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "o4_normalize_boxes": q_o4_normalize,
+    "asof_purchase_attribution": q_asof_purchase_attribution,
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "p_ops_image_math": q_p_ops_image_math,
     "url_canonicalization": q_url_canonicalization,
@@ -4590,6 +4629,7 @@ ORACLES = {
     "streaming_running_totals": _ORACLE_STREAMING_TOTALS,
     "streaming_windowed_counts": _ORACLE_STREAM_WINDOWED,
     "ivf_topk": _ORACLE_IVF,
+    "surprisal_quality": _ORACLE_SURPRISAL,
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,

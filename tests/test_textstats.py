@@ -170,3 +170,25 @@ def test_tfidf_top_terms_semantics(spark):
     # exactly k rows per doc, ranks contiguous
     assert all(len(v) == 2 and [r for r, *_ in v] == [1, 2]
                for v in by_doc.values())
+
+
+def test_unigram_surprisal_quality_exact_and_ordered(spark):
+    """Exact integer surprisal: s(token) = len(bin(total // cnt)); docs of
+    rare tokens land in a strictly higher bucket than docs of the most
+    common token."""
+    from documentprocessor_spark.operators.textstats import (
+        unigram_surprisal_quality)
+
+    # 8 docs of a common token, 2 docs of singleton-rare tokens
+    rows = [(i, "the the the the") for i in range(8)]
+    rows += [(8, "aardvark quux zyzzyva xylem"), (9, "benthic fjord glyph vex")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           unigram_surprisal_quality(df, n_buckets=4).collect()}
+    total = 40  # 10 docs x 4 tokens
+    s_common = len(bin(total // 32)) - 2  # 'the' count 32 -> total//cnt = 1
+    assert out[0]["surprisal_micro"] == (4 * s_common * 1_000_000) // 4
+    s_rare = len(bin(total // 1)) - 2
+    assert out[8]["surprisal_micro"] == (4 * s_rare * 1_000_000) // 4
+    assert out[8]["quality_bucket"] > out[0]["quality_bucket"]
+    assert all(r["n_tokens"] == 4 for r in out.values())
