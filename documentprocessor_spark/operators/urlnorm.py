@@ -64,3 +64,46 @@ def url_dedup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
         .groupBy("canonical_url")
         .agg(F.count("*").alias("n_variants"))
     )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocked_domains: DataFrame,
+    url_col: str = "url",
+    blocked_path_res: tuple[str, ...] = (),
+) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 drop pages by
+    domain blocklist + URL pattern before any content processing):
+    annotates every row with ``drop_reason`` — 'domain' when the url's
+    registrable host (canonicalized: lowercase, port stripped) appears in
+    ``blocked_domains(domain)``, else 'pattern' when any regex in
+    ``blocked_path_res`` matches the canonical url, else NULL (kept).
+
+    Scale shape: the blocklist (real-world lists are 1-10M rows — MBs)
+    BROADCASTS into a left join against the canonicalized host, so the
+    TB-side corpus never shuffles; the pattern pass is a codegen'd
+    regexp chain. Filtering is the caller's `where(drop_reason is null)`
+    — returning the annotation keeps per-rule drop counts one groupBy
+    away (the curation-metrics table every crawl pipeline wants).
+    """
+    canon = canonical_url_col(F.col(url_col))
+    host = F.regexp_extract(canon, r"^[a-z0-9+.-]+://([^/:?#]*)", 1)
+    blocked = blocked_domains.select(
+        F.col("domain").alias("_blocked_domain"), F.lit(True).alias("_dom_hit")
+    )
+    pattern_hit = F.lit(False)
+    for rx in blocked_path_res:
+        pattern_hit = pattern_hit | (F.regexp_count(canon, F.lit(rx)) > 0)
+    return (
+        df.withColumn("_canon", canon)
+        .withColumn("_host", host)
+        .join(F.broadcast(blocked), F.col("_host") == F.col("_blocked_domain"),
+              "left")
+        .withColumn(
+            "drop_reason",
+            F.when(F.col("_dom_hit"), F.lit("domain"))
+            .when(pattern_hit, F.lit("pattern"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .drop("_blocked_domain", "_dom_hit", "_canon", "_host")
+    )

@@ -1183,6 +1183,45 @@ _ORACLE_SURPRISAL = """
 """
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL filtering (urlnorm.url_blocklist_filter): urls
+    synthesized deterministically from doc ids across 5 domains; domain
+    site3 is blocklisted (broadcast anti-annotation) and paths ending in
+    /tracker are pattern-blocked; domain outranks pattern."""
+    from .operators.urlnorm import url_blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/tracker")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("site3.example.com",)], ["domain"]
+    )
+    return url_blocklist_filter(
+        urls, blocked, blocked_path_res=(r"/tracker$",)
+    ).select("doc_id", "url", "drop_reason")
+
+
+_ORACLE_URL_BLOCKLIST = """
+    select doc_id,
+        'https://site' || (doc_id % 5) || '.example.com/page/' || doc_id
+            || case when doc_id % 7 = 0 then '/tracker' else '' end as url,
+        case when doc_id % 5 = 3 then 'domain'
+             when doc_id % 7 = 0 then 'pattern'
+             else null end as drop_reason
+    from documents
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -4545,6 +4584,7 @@ QUERIES = {
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "ivf_topk": q_ivf_topk,
     "surprisal_quality": q_surprisal_quality,
+    "url_blocklist": q_url_blocklist,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
     # top directive): the three r3 local-only rows, plus minhash signatures
     # whose operator changed this round (numeric bigint minhash — must
@@ -4559,7 +4599,6 @@ QUERIES = {
     "m2_bio_entity_merge": q_bio_entity_merge,
     "h9_line_items": q_h9_line_items,
     "h10_h11_quality": q_h10_h11_quality,
-    "h12_model_first_merge": q_h12_model_first_merge,
     "p_ops_filter_chain": q_p_ops_filter_chain,
     "multimodal_features": q_multimodal_features,
     "warc_ingest": q_warc_ingest,
@@ -4595,6 +4634,7 @@ QUERIES = {
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "o4_normalize_boxes": q_o4_normalize,
     "asof_purchase_attribution": q_asof_purchase_attribution,
+    "h12_model_first_merge": q_h12_model_first_merge,
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "p_ops_image_math": q_p_ops_image_math,
     "url_canonicalization": q_url_canonicalization,
@@ -4630,6 +4670,7 @@ ORACLES = {
     "streaming_windowed_counts": _ORACLE_STREAM_WINDOWED,
     "ivf_topk": _ORACLE_IVF,
     "surprisal_quality": _ORACLE_SURPRISAL,
+    "url_blocklist": _ORACLE_URL_BLOCKLIST,
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,

@@ -296,3 +296,23 @@ def test_pii_patterns_linear_time():
         for s in evil:
             rx.findall(s)
     assert time.perf_counter() - t0 < 2.0
+
+
+def test_url_blocklist_filter_semantics(spark):
+    from documentprocessor_spark.operators.urlnorm import url_blocklist_filter
+
+    urls = spark.createDataFrame(
+        [(1, "HTTPS://Bad.Example.COM:443/x"),      # canon -> blocked domain
+         (2, "https://good.example.com/a/tracker"), # pattern hit
+         (3, "https://bad.example.com/y/tracker"),  # domain outranks pattern
+         (4, "https://good.example.com/clean")],
+        ["doc_id", "url"],
+    )
+    blocked = spark.createDataFrame([("bad.example.com",)], ["domain"])
+    got = {r["doc_id"]: r["drop_reason"] for r in url_blocklist_filter(
+        urls, blocked, blocked_path_res=(r"/tracker$",)).collect()}
+    assert got == {1: "domain", 2: "pattern", 3: "domain", 4: None}
+    # plan: the blocklist side must broadcast (TB corpus never shuffles)
+    plan = url_blocklist_filter(urls, blocked)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
