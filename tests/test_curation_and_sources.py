@@ -347,3 +347,30 @@ def test_curate_exact_substr_stage(spark):
     assert 1 in out and not out[1].startswith("the shared header")
     assert "alpha beta gamma" in out[1]
     assert out[3] == "the totally different body with its own tokens here now"
+
+
+def test_curate_job_cli(spark, tmp_path, capsys):
+    """The spark-submit curation CLI end to end: in-process main() on a
+    small corpus, one-pass then checkpointed mode into the same output."""
+    import json
+
+    from jobs.curate_job import main
+
+    docs = spark.createDataFrame(CKPT_DOCS, ["doc_id", "text"])
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    main(["--input", src, "--output", out, "--min-quality", "0.0"],
+         stop_session=False)
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_in"] == 6 and stats["mode"] == "one-pass"
+    kept_onepass = {r["doc_id"] for r in
+                    spark.read.parquet(out + "/curated").collect()}
+
+    main(["--input", src, "--output", out, "--min-quality", "0.0",
+          "--checkpoint", str(tmp_path / "ck")], stop_session=False)
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["mode"] == "checkpointed"
+    kept_ck = {r["doc_id"] for r in
+               spark.read.parquet(out + "/curated").collect()}
+    assert kept_ck == kept_onepass  # same clusters on this corpus
