@@ -60,3 +60,69 @@ def stratified_quota_sample(df: DataFrame, id_col: str, stratum_col: str,
         .where(F.col("_rk") <= quota)
         .drop("_rk")
     )
+
+
+def source_temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_fraction: float,
+    alpha: float = 0.5,
+    seed: str = "dp-mix",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multi-source training-mix
+    rule of GPT-3/Pile-style pipelines: sample source s with probability
+    ∝ n_s^alpha, alpha < 1 up-weighting rare sources): keeps ~
+    ``target_fraction`` of the corpus with per-source rates
+
+        w_s = n_s^alpha / Σ_t n_t^alpha
+        r_s = min(1, target_fraction · N · w_s / n_s)
+
+    Appends (source_rows, keep_rate) and keeps a row iff its deterministic
+    hash key < r_s — layout-independent like hash_sample.
+
+    Cross-engine exactness: n^alpha for alpha=0.5 is sqrt (correctly
+    rounded per IEEE-754, identical in both engines; other alphas go
+    through pow, which is NOT ulp-pinned — the oracle only certifies
+    alpha=0.5), and the normalizing sum is an ORDERED fold over the
+    sources sorted by name (double addition is order-dependent; a plain
+    SUM() would let engine accumulation order flip the last ulp of r_s at
+    a keep boundary). Rates are never rounded before the comparison.
+
+    Plan shape: one groupBy(source) count (map-side combined), the
+    source-rate table collapses to a scalar array fold + broadcast join —
+    the corpus streams map-side through the rate lookup and the hash
+    filter; no corpus shuffle anywhere.
+    """
+    if alpha != 0.5:
+        raise NotImplementedError(
+            "only alpha=0.5 (sqrt) is cross-engine exact; pow is not"
+        )
+    counts = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count("*").alias("source_rows")
+    )
+    total = counts.agg(
+        F.sum("source_rows").cast("double").alias("n_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_src"), F.col("source_rows")))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["source_rows"].cast("double")),
+        ).alias("w_denom"),
+    )
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "_src",
+        "source_rows",
+        F.least(
+            F.lit(1.0),
+            F.lit(target_fraction)
+            * F.col("n_total")
+            * (F.sqrt(F.col("source_rows").cast("double")) / F.col("w_denom"))
+            / F.col("source_rows").cast("double"),
+        ).alias("keep_rate"),
+    )
+    key = sample_key_col(F.col(id_col), seed)
+    return (
+        df.join(F.broadcast(rates), df[source_col] == F.col("_src"))
+        .where(key < F.col("keep_rate"))
+        .drop("_src")
+    )

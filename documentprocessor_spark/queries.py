@@ -1183,6 +1183,52 @@ _ORACLE_SURPRISAL = """
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing
+    (sampling.source_temperature_sample, alpha=0.5): ~30% of the corpus
+    with rare sources up-weighted; keep decisions on the deterministic
+    md5 key, the normalizing sum an ORDERED fold (double addition is
+    order-dependent — a bare SUM could flip a keep boundary ulp)."""
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.source_temperature_sample(
+        docs, "doc_id", "source", target_fraction=0.3
+    )
+    return out.select(
+        "doc_id", "source", "source_rows",
+        F.round("keep_rate", 6).alias("keep_rate"),
+    )
+
+
+_ORACLE_TEMPERATURE = """
+    with counts as (
+        select source as _src, count(*) as source_rows
+        from documents group by source
+    ),
+    total as (
+        select cast(sum(source_rows) as double) as n_total,
+            list_reduce(
+                list_prepend(0.0, list_transform(
+                    list(source_rows order by _src), x -> sqrt(x::double))),
+                (a, b) -> a + b) as w_denom
+        from counts
+    ),
+    rates as (
+        select _src, source_rows,
+            least(1.0,
+                0.3 * n_total * (sqrt(source_rows::double) / w_denom)
+                / source_rows::double) as keep_rate
+        from counts cross join total
+    )
+    select d.doc_id, d.source, r.source_rows,
+        round(r.keep_rate, 6) as keep_rate
+    from documents d join rates r on d.source = r._src
+    where ('0x' || substr(md5('dp-mix:' || d.doc_id), 1, 8))::bigint
+          / 4294967296.0 < r.keep_rate
+"""
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style URL filtering (urlnorm.url_blocklist_filter): urls
     synthesized deterministically from doc ids across 5 domains; domain
@@ -4585,6 +4631,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "surprisal_quality": q_surprisal_quality,
     "url_blocklist": q_url_blocklist,
+    "temperature_sample": q_temperature_sample,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
     # top directive): the three r3 local-only rows, plus minhash signatures
     # whose operator changed this round (numeric bigint minhash — must
@@ -4603,7 +4650,6 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "warc_ingest": q_warc_ingest,
     "pdf_extract": q_pdf_extract,
-    "repetition_stats": q_repetition_stats,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
     "text_stats": q_text_stats,
@@ -4635,6 +4681,7 @@ QUERIES = {
     "o4_normalize_boxes": q_o4_normalize,
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "h12_model_first_merge": q_h12_model_first_merge,
+    "repetition_stats": q_repetition_stats,
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "p_ops_image_math": q_p_ops_image_math,
     "url_canonicalization": q_url_canonicalization,
@@ -4671,6 +4718,7 @@ ORACLES = {
     "ivf_topk": _ORACLE_IVF,
     "surprisal_quality": _ORACLE_SURPRISAL,
     "url_blocklist": _ORACLE_URL_BLOCKLIST,
+    "temperature_sample": _ORACLE_TEMPERATURE,
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,

@@ -316,3 +316,43 @@ def test_url_blocklist_filter_semantics(spark):
     plan = url_blocklist_filter(urls, blocked)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_temperature_sample_upweights_rare_sources(spark):
+    from documentprocessor_spark.operators.sampling import (
+        source_temperature_sample)
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "rare") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = source_temperature_sample(df, "doc_id", "source", 0.3).collect()
+    kept = {"big": 0, "rare": 0}
+    for r in out:
+        kept[r["source"]] += 1
+    # alpha=0.5 weights: sqrt(900):sqrt(100) = 3:1 -> rates 1/10 vs 3/10 of
+    # each source's rows... rare keeps a ~3x higher FRACTION than big
+    frac_big, frac_rare = kept["big"] / 900, kept["rare"] / 100
+    assert frac_rare > 2 * frac_big
+    assert abs(len(out) - 300) < 60  # ~target_fraction overall
+
+    # layout independence: same survivors after a repartition
+    ids = sorted(r["doc_id"] for r in out)
+    ids2 = sorted(
+        r["doc_id"]
+        for r in source_temperature_sample(
+            df.repartition(13), "doc_id", "source", 0.3
+        ).collect()
+    )
+    assert ids == ids2
+
+
+def test_temperature_sample_rejects_unsupported_alpha(spark):
+    import pytest as _pytest
+
+    from documentprocessor_spark.operators.sampling import (
+        source_temperature_sample)
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with _pytest.raises(NotImplementedError):
+        source_temperature_sample(df, "doc_id", "source", 0.3, alpha=0.7)
