@@ -80,6 +80,32 @@ COMMENTARY = {
         "min + join back, O(bucket) rows even when a templated crawl "
         "makes one LSH bucket hold a third of the corpus."
     ),
+    "dedup_span_removal": (
+        "The ExactSubstr cut: span detection reuses the persisted windows "
+        "relation, merged spans collect per doc (bounded — maximal ranges, "
+        "not windows) into a broadcast-eligible join, and the token cut is "
+        "a nested higher-order filter in codegen — the text column is "
+        "touched once, map-side."
+    ),
+    "surprisal_quality": (
+        "CCNet-style quality bucketing with zero float boundaries: integer "
+        "log2-quantized surprisal (length(bin(total div cnt))), token-count "
+        "aggregate map-side combined, scalar total + decile bounds each "
+        "broadcast — assignment is a map-side array fold; NO global sort "
+        "or ntile single-partition window anywhere."
+    ),
+    "url_blocklist": (
+        "Pre-content URL filtering: the blocklist broadcasts (MB-scale "
+        "lists vs TB-scale corpus — the corpus never shuffles), the "
+        "pattern pass is a codegen regexp chain; drop_reason annotation "
+        "keeps per-rule counts one groupBy away."
+    ),
+    "temperature_sample": (
+        "Source-mix resampling: one map-side-combined count per source, "
+        "the normalizer an ORDERED scalar fold (bare SUM of doubles is "
+        "accumulation-order-dependent), rates broadcast, keep decisions "
+        "a map-side md5 filter — no corpus shuffle in the whole plan."
+    ),
     "ivf_topk": (
         "IVF ANN as joins: the 16-centroid quantizer broadcasts to both "
         "assignment passes (the corpus never shuffles to be indexed); "
