@@ -140,18 +140,25 @@ def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts.tolist(), ends.tolist()))
 
 
-def _decode_glyph(cell: np.ndarray) -> tuple[str, float]:
-    """Nearest-template decode: exact match → conf 1.0, else minimal
-    Hamming distance (ties by font order), conf = 1 − d/(7*5)."""
-    target = np.zeros(GLYPH_H * GLYPH_W, dtype=bool)
+GLYPH_BITS = GLYPH_H * GLYPH_W  # the shared confidence denominator
+
+
+def _pad_cell(cell: np.ndarray) -> np.ndarray:
+    """Crop/zero-pad an ink cell to the flat GLYPH_H x GLYPH_W target both
+    recognizers compare against templates."""
     h, w = min(cell.shape[0], GLYPH_H), min(cell.shape[1], GLYPH_W)
     padded = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
     padded[:h, :w] = cell[:h, :w]
-    target = padded.reshape(-1)
-    dists = (_FONT_MATRIX != target).sum(axis=1)
+    return padded.reshape(-1)
+
+
+def _decode_glyph(cell: np.ndarray) -> tuple[str, float]:
+    """Nearest-template decode: exact match → conf 1.0, else minimal
+    Hamming distance (ties by font order), conf = 1 − d/GLYPH_BITS."""
+    dists = (_FONT_MATRIX != _pad_cell(cell)).sum(axis=1)
     best = int(dists.argmin())
     d = int(dists[best])
-    return _FONT_CHARS[best], round(1.0 - d / (GLYPH_H * GLYPH_W), 6)
+    return _FONT_CHARS[best], round(1.0 - d / GLYPH_BITS, 6)
 
 
 class TemplateOcrEngine:
@@ -298,10 +305,7 @@ class CCBeamOcrEngine:
         ]
 
     def _glyph_logprobs(self, cell: np.ndarray) -> np.ndarray:
-        target = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
-        h, w = min(cell.shape[0], GLYPH_H), min(cell.shape[1], GLYPH_W)
-        target[:h, :w] = cell[:h, :w]
-        dists = (_FONT_MATRIX != target.reshape(-1)).sum(axis=1)
+        dists = (_FONT_MATRIX != _pad_cell(cell)).sum(axis=1)
         return -self.ALPHA * dists.astype(np.float64)
 
     def _beam_decode(self, cells: list[np.ndarray]) -> tuple[str, float]:
@@ -327,9 +331,9 @@ class CCBeamOcrEngine:
             beams = nxt[: self.BEAM]
         _, text, _, like = beams[0]
         n = max(1, len(cells))
-        # like = −α·Σd, so 1 + like/(n·α·35) = 1 − mean(d)/35 — the same
-        # confidence scale as the template engine (exact match → 1.0)
-        conf = round(1.0 + like / (n * self.ALPHA * 35.0), 6)
+        # like = −α·Σd, so 1 + like/(n·α·GLYPH_BITS) = 1 − mean(d)/GLYPH_BITS
+        # — the template engine's confidence scale (exact match → 1.0)
+        conf = round(1.0 + like / (n * self.ALPHA * GLYPH_BITS), 6)
         return text, conf
 
     def detect_and_recognize(self, img: np.ndarray) -> list[dict]:

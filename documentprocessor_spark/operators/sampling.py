@@ -98,7 +98,13 @@ def source_temperature_sample(
         raise NotImplementedError(
             "only alpha=0.5 (sqrt) is cross-engine exact; pow is not"
         )
-    counts = df.groupBy(F.col(source_col).alias("_src")).agg(
+    # NULL sources form their own stratum via a sentinel: a raw equality
+    # join would silently drop NULL-source rows while still counting them
+    # in n_total (kept fraction lands under target), and a NULL inside the
+    # ordered fold would sort nulls-first in Spark vs nulls-last in DuckDB,
+    # breaking the ulp-exact denominator (review finding r4).
+    src = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00<null>"))
+    counts = df.groupBy(src.alias("_src")).agg(
         F.count("*").alias("source_rows")
     )
     total = counts.agg(
@@ -122,7 +128,7 @@ def source_temperature_sample(
     )
     key = sample_key_col(F.col(id_col), seed)
     return (
-        df.join(F.broadcast(rates), df[source_col] == F.col("_src"))
+        df.join(F.broadcast(rates), src == F.col("_src"))
         .where(key < F.col("keep_rate"))
         .drop("_src")
     )

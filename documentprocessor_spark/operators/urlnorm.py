@@ -86,16 +86,21 @@ def url_blocklist_filter(
     — returning the annotation keeps per-rule drop counts one groupBy
     away (the curation-metrics table every crawl pipeline wants).
     """
-    canon = canonical_url_col(F.col(url_col))
-    host = F.regexp_extract(canon, r"^[a-z0-9+.-]+://([^/:?#]*)", 1)
+    # distinct: real blocklists carry duplicate entries, and a duplicated
+    # domain row would fan the left join out and double every matching
+    # corpus row (review finding r4)
     blocked = blocked_domains.select(
-        F.col("domain").alias("_blocked_domain"), F.lit(True).alias("_dom_hit")
-    )
+        F.col("domain").alias("_blocked_domain")
+    ).distinct().withColumn("_dom_hit", F.lit(True))
+    # canonicalize ONCE into a named column; host and the pattern chain
+    # both read it back so the regexp cascade runs a single time per row
+    canon = F.col("_canon")
+    host = F.regexp_extract(canon, r"^[a-z0-9+.-]+://([^/:?#]*)", 1)
     pattern_hit = F.lit(False)
     for rx in blocked_path_res:
         pattern_hit = pattern_hit | (F.regexp_count(canon, F.lit(rx)) > 0)
     return (
-        df.withColumn("_canon", canon)
+        df.withColumn("_canon", canonical_url_col(F.col(url_col)))
         .withColumn("_host", host)
         .join(F.broadcast(blocked), F.col("_host") == F.col("_blocked_domain"),
               "left")

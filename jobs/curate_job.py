@@ -47,7 +47,18 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
     spark = get_spark(app_name="dp-curate")
     t0 = time.monotonic()
     docs = spark.read.parquet(args.input)
-    n_in = docs.count()
+    # rows_in rides the plan's own scan via observe() — a driver-side
+    # count() here would be a full EXTRA pass over a TB-scale input
+    # (review finding r4). The checkpointed plan runs multiple actions
+    # and may legitimately SKIP the input scan on resume, so it counts
+    # input rows with an explicit (documented) pass instead.
+    obs = None
+    if not args.checkpoint:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation("curate-in")
+        docs = docs.observe(obs, F.count(F.lit(1)).alias("rows_in"))
     common = dict(
         id_col=args.id_col, text_col=args.text_col, lang=args.lang,
         min_quality=args.min_quality, minhash_k=args.minhash_k,
@@ -64,7 +75,12 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
         )
     dest = f"{args.output}/curated"
     out.write.mode("overwrite").parquet(dest)
+    # parquet count() reads row-group metadata, not data — cheap, and it
+    # doubles as a read-back verification of the committed output
     n_out = spark.read.parquet(dest).count()
+    n_in = obs.get["rows_in"] if obs is not None else (
+        spark.read.parquet(args.input).count()
+    )
     print(json.dumps({
         "rows_in": n_in,
         "rows_kept": n_out,

@@ -356,3 +356,29 @@ def test_temperature_sample_rejects_unsupported_alpha(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
     with _pytest.raises(NotImplementedError):
         source_temperature_sample(df, "doc_id", "source", 0.3, alpha=0.7)
+
+
+def test_url_blocklist_duplicate_entries_do_not_fan_out(spark):
+    from documentprocessor_spark.operators.urlnorm import url_blocklist_filter
+
+    urls = spark.createDataFrame(
+        [(1, "https://bad.example.com/x"), (2, "https://ok.example.com/y")],
+        ["doc_id", "url"],
+    )
+    blocked = spark.createDataFrame(
+        [("bad.example.com",), ("bad.example.com",)], ["domain"]
+    )
+    out = url_blocklist_filter(urls, blocked).collect()
+    assert len(out) == 2  # duplicated blocklist row must not duplicate pages
+
+
+def test_temperature_sample_null_source_is_its_own_stratum(spark):
+    from documentprocessor_spark.operators.sampling import (
+        source_temperature_sample)
+
+    rows = [(i, "big") for i in range(300)] + [(500 + i, None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_temperature_sample(df, "doc_id", "source", 0.5).collect()
+    kept_null = sum(1 for r in out if r["source"] is None)
+    assert kept_null > 0  # NULL stratum participates instead of vanishing
+    assert abs(len(out) - 200) < 60
