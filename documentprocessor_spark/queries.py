@@ -1229,6 +1229,74 @@ _ORACLE_TEMPERATURE = """
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (dedup.incremental_dedup): even doc_ids
+    play the already-ingested corpus (its persisted hash + band index),
+    odd doc_ids the new crawl delta annotated exact/near/NULL against it."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    ih, ib = dedup.build_dedup_index(old, "doc_id", "text")
+    return dedup.incremental_dedup(delta, ih, ib, "doc_id", "text").select(
+        "doc_id", "drop_reason"
+    )
+
+
+_ORACLE_INCREMENTAL = """
+    with old as (select * from documents where doc_id % 2 = 0),
+    newd as (select * from documents where doc_id % 2 = 1),
+    ih as (select distinct sha256(text) as content_hash from old),
+    tok_o as (select doc_id, string_split(text, ' ') as toks from old),
+    sh_o as (
+        select distinct doc_id,
+            toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] as shingle
+        from tok_o, lateral unnest(range(len(toks) - 2)) as u(i)
+    ),
+    seeds as (select unnest(range(8)) as seed),
+    sig_o as (
+        select doc_id, seed,
+            min(('0x' || substr(md5(cast(seed as varchar) || ':' || shingle), 1, 15))::bigint) as mh
+        from sh_o cross join seeds group by doc_id, seed
+    ),
+    bands_o as (
+        select distinct cast(seed // 2 as int) as band,
+            md5(string_agg(mh::varchar, '|' order by mh)) as band_hash
+        from sig_o group by doc_id, cast(seed // 2 as int)
+    ),
+    tok_n as (select doc_id, string_split(text, ' ') as toks from newd),
+    sh_n as (
+        select distinct doc_id,
+            toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] as shingle
+        from tok_n, lateral unnest(range(len(toks) - 2)) as u(i)
+    ),
+    sig_n as (
+        select doc_id, seed,
+            min(('0x' || substr(md5(cast(seed as varchar) || ':' || shingle), 1, 15))::bigint) as mh
+        from sh_n cross join seeds group by doc_id, seed
+    ),
+    bands_n as (
+        select doc_id, cast(seed // 2 as int) as band,
+            md5(string_agg(mh::varchar, '|' order by mh)) as band_hash
+        from sig_n group by doc_id, cast(seed // 2 as int)
+    ),
+    exact_hits as (
+        select distinct n.doc_id from newd n
+        join ih on sha256(n.text) = ih.content_hash
+    ),
+    near_hits as (
+        select distinct bn.doc_id from bands_n bn
+        join bands_o using (band, band_hash)
+    )
+    select n.doc_id,
+        case when e.doc_id is not null then 'exact'
+             when h.doc_id is not null then 'near'
+             else null end as drop_reason
+    from newd n
+    left join exact_hits e on n.doc_id = e.doc_id
+    left join near_hits h on n.doc_id = h.doc_id
+"""
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style URL filtering (urlnorm.url_blocklist_filter): urls
     synthesized deterministically from doc ids across 5 domains; domain
@@ -4632,6 +4700,7 @@ QUERIES = {
     "surprisal_quality": q_surprisal_quality,
     "url_blocklist": q_url_blocklist,
     "temperature_sample": q_temperature_sample,
+    "incremental_dedup": q_incremental_dedup,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
     # top directive): the three r3 local-only rows, plus minhash signatures
     # whose operator changed this round (numeric bigint minhash — must
@@ -4652,7 +4721,6 @@ QUERIES = {
     "pdf_extract": q_pdf_extract,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
-    "text_stats": q_text_stats,
     "similarity_cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     # --- tail --- (position 51+): each op here is either certified by
@@ -4682,6 +4750,7 @@ QUERIES = {
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "h12_model_first_merge": q_h12_model_first_merge,
     "repetition_stats": q_repetition_stats,
+    "text_stats": q_text_stats,
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "p_ops_image_math": q_p_ops_image_math,
     "url_canonicalization": q_url_canonicalization,
@@ -4719,6 +4788,7 @@ ORACLES = {
     "surprisal_quality": _ORACLE_SURPRISAL,
     "url_blocklist": _ORACLE_URL_BLOCKLIST,
     "temperature_sample": _ORACLE_TEMPERATURE,
+    "incremental_dedup": _ORACLE_INCREMENTAL,
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,

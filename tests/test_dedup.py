@@ -253,3 +253,24 @@ def test_remove_duplicate_spans_fully_covered_doc_empties(spark):
            for r in dedup.remove_duplicate_spans(
                docs, "doc_id", "text", k=3).collect()}
     assert got == {1: ("", 6), 2: ("", 6)}
+
+
+def test_incremental_dedup_annotates_delta(spark):
+    """Even ids = ingested corpus with its persisted index; odd ids = new
+    delta. Exact copy -> 'exact'; near-dup -> 'near'; fresh -> NULL;
+    exact outranks near."""
+    old = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different content about spark engines")],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),     # exact
+         (3, "the quick brown fox jumps over the sleepy dog"),   # near
+         (5, "entirely novel words never indexed before today")],
+        ["doc_id", "text"],
+    )
+    ih, ib = dedup.build_dedup_index(old, "doc_id", "text")
+    got = {r["doc_id"]: r["drop_reason"] for r in
+           dedup.incremental_dedup(delta, ih, ib, "doc_id", "text").collect()}
+    assert got == {1: "exact", 3: "near", 5: None}
