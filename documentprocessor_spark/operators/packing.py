@@ -64,3 +64,65 @@ def pack_sequences(
         )
         .drop(tmp_col)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Fixed-length document chunking with optional overlap — the
+    long-document split every max-sequence-length training/embedding
+    pipeline runs (stride < chunk_tokens gives sliding-window overlap for
+    context continuity; stride == chunk_tokens gives disjoint chunks).
+
+    Emits (doc_id, chunk_id, chunk_start, n_chunk_tokens, chunk_text):
+    chunk c covers tokens [c*stride, c*stride + chunk_tokens); the last
+    chunk may be short; a document shorter than one chunk yields exactly
+    one chunk (its whole token stream). Chunk count =
+    1 + max(0, ceil((n - chunk_tokens) / stride)).
+
+    Map-only: the split is a native transform/sequence/slice expression
+    inside codegen — no shuffle, no Python; the chunk explosion multiplies
+    rows (n/stride per doc) map-side, exactly like the reference's
+    windows, and downstream repartitioning happens wherever the consumer
+    shuffles anyway."""
+    if not isinstance(chunk_tokens, int) or chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be a positive int, got {chunk_tokens!r}")
+    stride = chunk_tokens if stride is None else stride
+    if not isinstance(stride, int) or not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be a positive int <= chunk_tokens, got {stride!r}"
+        )
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # ceil((n - chunk)/stride) in exact integer math, clamped at >= 0
+    n_extra = F.greatest(
+        F.lit(0),
+        ((n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_extra),
+        lambda c: F.struct(
+            c.cast("long").alias("chunk_id"),
+            (c * stride).cast("long").alias("chunk_start"),
+            F.array_join(
+                F.slice(toks, c * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), chunks.alias("cs"))
+        .select("doc_id", F.explode("cs").alias("c"))
+        .select(
+            "doc_id",
+            "c.chunk_id",
+            "c.chunk_start",
+            F.size(F.split(F.col("c.chunk_text"), " ")).cast("long").alias(
+                "n_chunk_tokens"
+            ),
+            "c.chunk_text",
+        )
+    )

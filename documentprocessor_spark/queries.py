@@ -1229,6 +1229,36 @@ _ORACLE_TEMPERATURE = """
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (packing.chunk_documents): 16-token
+    chunks with stride 8 — the max-sequence-length split with overlap."""
+    from .operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=16, stride=8)
+
+
+_ORACLE_CHUNKS = """
+    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
+    ext as (
+        select doc_id, toks,
+            greatest(0, (len(toks) - 16 + 7) // 8) as n_extra
+        from tok
+    ),
+    c as (
+        select doc_id, toks, i as chunk_id
+        from ext, lateral unnest(range(n_extra + 1)) as u(i)
+    )
+    select doc_id, chunk_id,
+        cast(chunk_id * 8 as bigint) as chunk_start,
+        cast(len(toks[chunk_id * 8 + 1:chunk_id * 8 + 16]) as bigint)
+            as n_chunk_tokens,
+        array_to_string(toks[chunk_id * 8 + 1:chunk_id * 8 + 16], ' ')
+            as chunk_text
+    from c
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion dedup (dedup.incremental_dedup): even doc_ids
     play the already-ingested corpus (its persisted hash + band index),
@@ -4701,6 +4731,7 @@ QUERIES = {
     "url_blocklist": q_url_blocklist,
     "temperature_sample": q_temperature_sample,
     "incremental_dedup": q_incremental_dedup,
+    "chunk_documents": q_chunk_documents,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
     # top directive): the three r3 local-only rows, plus minhash signatures
     # whose operator changed this round (numeric bigint minhash — must
@@ -4718,7 +4749,6 @@ QUERIES = {
     "p_ops_filter_chain": q_p_ops_filter_chain,
     "multimodal_features": q_multimodal_features,
     "warc_ingest": q_warc_ingest,
-    "pdf_extract": q_pdf_extract,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
     "similarity_cosine_topk": q_cosine_topk,
@@ -4751,6 +4781,7 @@ QUERIES = {
     "h12_model_first_merge": q_h12_model_first_merge,
     "repetition_stats": q_repetition_stats,
     "text_stats": q_text_stats,
+    "pdf_extract": q_pdf_extract,
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "p_ops_image_math": q_p_ops_image_math,
     "url_canonicalization": q_url_canonicalization,
@@ -4789,6 +4820,7 @@ ORACLES = {
     "url_blocklist": _ORACLE_URL_BLOCKLIST,
     "temperature_sample": _ORACLE_TEMPERATURE,
     "incremental_dedup": _ORACLE_INCREMENTAL,
+    "chunk_documents": _ORACLE_CHUNKS,
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,

@@ -382,3 +382,34 @@ def test_temperature_sample_null_source_is_its_own_stratum(spark):
     kept_null = sum(1 for r in out if r["source"] is None)
     assert kept_null > 0  # NULL stratum participates instead of vanishing
     assert abs(len(out) - 200) < 60
+
+
+def test_chunk_documents_semantics(spark):
+    from documentprocessor_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20))),  # 20 toks: chunks at 0,8,16
+         (2, "short doc only"),                      # 3 toks: one whole chunk
+         (3, " ".join(f"u{i}" for i in range(16)))], # exactly one chunk
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(docs, "doc_id", "text", chunk_tokens=16, stride=8)
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_start"], r["n_chunk_tokens"],
+                                          r["chunk_text"])
+           for r in rows.collect()}
+    assert got[(1, 0)][0:2] == (0, 16)
+    assert got[(1, 1)][0:2] == (8, 12)   # tokens 8..19
+    assert got[(1, 1)][2].startswith("t8 ")
+    assert (1, 2) not in got             # ceil((20-16)/8) = 1 extra chunk
+    assert got[(2, 0)] == (0, 3, "short doc only")
+    assert got[(3, 0)][1] == 16 and (3, 1) not in got
+    # overlap: chunk 1 repeats tokens 8..15 of chunk 0
+    assert got[(1, 0)][2].split()[8:] == got[(1, 1)][2].split()[:8]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=8, stride=9)
+
+    # map-only plan: no Exchange anywhere
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
