@@ -613,3 +613,68 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str,
     return df.select(
         F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col), bits).alias("simhash")
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+    per document, hash every overlapping k-token window, slide a w-window
+    over the hash sequence, and select each w-window's minimum — the
+    classic guarantee that any shared run of >= w+k-1 tokens between two
+    documents shares at least one fingerprint, with ~2/(w+1) of positions
+    selected. Leftmost-minimum tie rule (deterministic, engine-portable).
+
+    Returns distinct (doc_id, fp_pos, fp_hash).
+
+    Relational formulation: the per-window argmin rides a single window
+    function over a sort key that IS the (hash, pos) order — the 60-bit
+    hash zero-padded to 19 digits concatenated with the zero-padded
+    position, so lexicographic min == numeric (hash, pos) min in both
+    engines. One Exchange (the per-doc window); distinct collapses the
+    repeated selections map-side first.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_win = F.size(toks) - F.lit(k - 1)
+    win_structs = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.conv(
+                    F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 15),
+                    16, 10,
+                ).cast("long").alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,h:bigint>>"))
+    from ..partitioning import ensure_min_parallelism
+
+    slim = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+    )
+    hashes = (
+        slim.select("doc_id", win_structs.alias("ws"))
+        .select("doc_id", F.explode("ws").alias("w"))
+        .select("doc_id", "w.pos", "w.h")
+    )
+    key = F.concat(
+        F.lpad(F.col("h").cast("string"), 19, "0"),
+        F.lit(":"),
+        F.lpad(F.col("pos").cast("string"), 10, "0"),
+    )
+    over = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_in_win = F.count("*").over(over)
+    sel = F.min(key).over(over)
+    return (
+        hashes.select(
+            "doc_id", n_in_win.alias("_n"), sel.alias("_sel")
+        )
+        .where(F.col("_n") == w)  # full windows only (classic winnowing)
+        .select(
+            "doc_id",
+            F.substring(F.col("_sel"), 21, 10).cast("long").alias("fp_pos"),
+            F.substring(F.col("_sel"), 1, 19).cast("long").alias("fp_hash"),
+        )
+        .distinct()
+    )

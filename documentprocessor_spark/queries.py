@@ -1259,6 +1259,41 @@ _ORACLE_CHUNKS = """
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (dedup.winnow_fingerprints, MOSS scheme):
+    5-token window hashes, per-4-window leftmost minimum, distinct
+    (doc_id, fp_pos, fp_hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+_ORACLE_WINNOW = """
+    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
+    win as (
+        select doc_id, i as pos,
+            ('0x' || substr(md5(array_to_string(toks[i + 1:i + 5], ' ')), 1, 15))::bigint as h
+        from tok, lateral unnest(range(len(toks) - 4)) as u(i)
+    ),
+    keyed as (
+        select doc_id, pos,
+            lpad(h::varchar, 19, '0') || ':' || lpad(pos::varchar, 10, '0') as key
+        from win
+    ),
+    sel as (
+        select doc_id,
+            count(*) over (partition by doc_id order by pos
+                           rows between current row and 3 following) as _n,
+            min(key) over (partition by doc_id order by pos
+                           rows between current row and 3 following) as _sel
+        from keyed
+    )
+    select distinct doc_id,
+        cast(substr(_sel, 21, 10) as bigint) as fp_pos,
+        cast(substr(_sel, 1, 19) as bigint) as fp_hash
+    from sel where _n = 4
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion dedup (dedup.incremental_dedup): even doc_ids
     play the already-ingested corpus (its persisted hash + band index),
@@ -4732,6 +4767,7 @@ QUERIES = {
     "temperature_sample": q_temperature_sample,
     "incremental_dedup": q_incremental_dedup,
     "chunk_documents": q_chunk_documents,
+    "winnow_fingerprints": q_winnow_fingerprints,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
     # top directive): the three r3 local-only rows, plus minhash signatures
     # whose operator changed this round (numeric bigint minhash — must
@@ -4751,7 +4787,6 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
-    "similarity_cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     # --- tail --- (position 51+): each op here is either certified by
     # another in-window row (blas/lsh variants, S3 base64 twin, h1-h6
@@ -4782,6 +4817,9 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "text_stats": q_text_stats,
     "pdf_extract": q_pdf_extract,
+    # double-certified; its HOF cosine kernel is also exercised in-window
+    # by ivf_topk and its GEMM twin keeps the cosine_topk_blas tail oracle
+    "similarity_cosine_topk": q_cosine_topk,
     "o1_ocr_roundtrip": q_o1_ocr_roundtrip,
     "p_ops_image_math": q_p_ops_image_math,
     "url_canonicalization": q_url_canonicalization,
@@ -4821,6 +4859,7 @@ ORACLES = {
     "temperature_sample": _ORACLE_TEMPERATURE,
     "incremental_dedup": _ORACLE_INCREMENTAL,
     "chunk_documents": _ORACLE_CHUNKS,
+    "winnow_fingerprints": _ORACLE_WINNOW,
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,

@@ -274,3 +274,33 @@ def test_incremental_dedup_annotates_delta(spark):
     got = {r["doc_id"]: r["drop_reason"] for r in
            dedup.incremental_dedup(delta, ih, ib, "doc_id", "text").collect()}
     assert got == {1: "exact", 3: "near", 5: None}
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Winnowing guarantee: two docs sharing a run of >= w+k-1 tokens share
+    at least one fingerprint; selection density ~ 2/(w+1)."""
+    shared = " ".join(f"s{i}" for i in range(12))  # >= w+k-1 = 8 tokens
+    docs = spark.createDataFrame(
+        [(1, shared + " " + " ".join(f"a{i}" for i in range(30))),
+         (2, " ".join(f"b{i}" for i in range(30)) + " " + shared),
+         (3, " ".join(f"c{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    )
+    fps = dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: doc 3 has 36 windows, expect far fewer fingerprints than
+    # windows but more than windows/w would be at minimum
+    assert 5 <= len(by_doc[3]) <= 20
+
+
+def test_winnow_fingerprints_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y")], ["doc_id", "text"]
+    )
+    # doc 1: 2 windows < w -> no full w-window -> no fingerprints;
+    # doc 2: shorter than k -> no windows at all
+    assert dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4).count() == 0
