@@ -106,6 +106,23 @@ COMMENTARY = {
         "accumulation-order-dependent), rates broadcast, keep decisions "
         "a map-side md5 filter — no corpus shuffle in the whole plan."
     ),
+    "chunk_documents": (
+        "Max-seq-length chunking: the sliding split is pure "
+        "transform/sequence/slice inside codegen — scan → project → "
+        "explode, zero Exchange, zero Python. Row multiplication happens "
+        "map-side; whoever consumes the chunks shuffles on their own keys."
+    ),
+    "winnow_fingerprints": (
+        "MOSS winnowing: window hashes map-side, the per-w-window argmin "
+        "is ONE window function over the zero-padded (hash,pos) key — a "
+        "single Exchange on doc_id, and the trailing distinct partial-"
+        "aggregates the repeated selections before its shuffle."
+    ),
+    "incremental_dedup": (
+        "Continuous-ingestion probe: the delta's hash/band key sets build "
+        "the broadcast side, so the HISTORICAL index — the big relation — "
+        "streams map-side with zero Exchange on it."
+    ),
     "ivf_topk": (
         "IVF ANN as joins: the 16-centroid quantizer broadcasts to both "
         "assignment passes (the corpus never shuffles to be indexed); "
