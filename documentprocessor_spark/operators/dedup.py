@@ -34,6 +34,14 @@ DEFAULT_DF_CAP = 50          # drop shingles present in more docs than this
 SIMHASH_BITS = 16
 
 
+def _h60(col: Column) -> Column:
+    """The module's ONE portable 60-bit string hash: the first 15 hex chars
+    of md5 as a bigint. The 15-char width is a cross-engine CONTRACT —
+    every DuckDB oracle spells it ('0x' || substr(md5(x), 1, 15))::bigint;
+    change it here and in every oracle together or nowhere."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def shingles_col(text: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
     """Distinct word n-gram shingles of `text` (native, codegen'd):
     transform over a sequence of start offsets + slice + concat.
@@ -83,7 +91,7 @@ def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     portable to the DuckDB oracle ('0x'||substr(md5(s),1,15) casts to the
     same value); 60-bit collisions are negligible for dedup purposes.
     """
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    h = _h60(F.col("shingle"))
     return doc_shingles(df, id_col, text_col, n).select(
         "doc_id", h.alias("sh_hash")
     )
@@ -134,12 +142,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     pairs = doc_shingles(df, id_col, text_col, n)
     aggs = [
         F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), 1, 15
-                ),
-                16, 10,
-            ).cast("long")
+            _h60(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
         ).alias(f"mh{seed}")
         for seed in range(k)
     ]
@@ -411,10 +414,7 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
             F.sequence(F.lit(0), n_win - 1),
             lambda i: F.struct(
                 i.cast("long").alias("span_start"),
-                F.conv(
-                    F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 15),
-                    16, 10,
-                ).cast("long").alias("win_hash"),
+                _h60(F.array_join(F.slice(toks, i + 1, k), " ")).alias("win_hash"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<span_start:bigint,win_hash:bigint>>"))
@@ -622,7 +622,12 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     over the hash sequence, and select each w-window's minimum — the
     classic guarantee that any shared run of >= w+k-1 tokens between two
     documents shares at least one fingerprint, with ~2/(w+1) of positions
-    selected. Leftmost-minimum tie rule (deterministic, engine-portable).
+    selected. Tie rule: LEFTMOST minimum (deterministic, engine-portable)
+    — Schleimer et al.'s robust winnowing specifies RIGHTMOST, so on tied
+    minima (a k-gram repeated within w positions) fp_pos differs from a
+    to-the-letter MOSS implementation while fp_hash — what cross-document
+    matching uses — is identical; the shared-run guarantee holds under
+    either rule.
 
     Returns distinct (doc_id, fp_pos, fp_hash).
 
@@ -641,10 +646,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
             F.sequence(F.lit(0), n_win - 1),
             lambda i: F.struct(
                 i.cast("long").alias("pos"),
-                F.conv(
-                    F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 15),
-                    16, 10,
-                ).cast("long").alias("h"),
+                _h60(F.array_join(F.slice(toks, i + 1, k), " ")).alias("h"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:bigint,h:bigint>>"))

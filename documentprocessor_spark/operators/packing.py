@@ -108,6 +108,11 @@ def chunk_documents(
         lambda c: F.struct(
             c.cast("long").alias("chunk_id"),
             (c * stride).cast("long").alias("chunk_start"),
+            # arithmetic, not a re-split of the joined text: the chunk
+            # holds min(chunk_tokens, n - start) tokens by construction
+            F.least(F.lit(chunk_tokens), n - c * stride).cast("long").alias(
+                "n_chunk_tokens"
+            ),
             F.array_join(
                 F.slice(toks, c * stride + 1, chunk_tokens), " "
             ).alias("chunk_text"),
@@ -120,9 +125,7 @@ def chunk_documents(
             "doc_id",
             "c.chunk_id",
             "c.chunk_start",
-            F.size(F.split(F.col("c.chunk_text"), " ")).cast("long").alias(
-                "n_chunk_tokens"
-            ),
+            "c.n_chunk_tokens",
             "c.chunk_text",
         )
     )
