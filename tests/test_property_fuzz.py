@@ -294,3 +294,38 @@ def test_duplicate_spans_matches_python_fuzz(spark, texts, k):
         for r in duplicate_spans(df, "doc_id", "text", k=k).collect()
     }
     assert got == _py_duplicate_spans(docs, k)
+
+
+# -- chunk_documents ≡ pure-Python reference over random docs --------------
+
+_chunk_doc = st.lists(
+    st.sampled_from(list("pqrs")), min_size=1, max_size=40
+).map(" ".join)
+
+
+def _py_chunks(docs, chunk, stride):
+    out = set()
+    for did, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        n_extra = max(0, -(-(n - chunk) // stride))  # ceil, clamped
+        for c in range(n_extra + 1):
+            piece = toks[c * stride : c * stride + chunk]
+            out.add((did, c, c * stride, len(piece), " ".join(piece)))
+    return out
+
+
+@given(st.lists(_chunk_doc, min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=9), st.integers(min_value=1, max_value=9))
+@settings(max_examples=25, deadline=None)
+def test_chunk_documents_matches_python_fuzz(spark, texts, chunk, stride):
+    from documentprocessor_spark.operators.packing import chunk_documents
+
+    stride = min(stride, chunk)
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id, r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, "doc_id", "text", chunk, stride).collect()
+    }
+    assert got == _py_chunks(docs, chunk, stride)
