@@ -4776,8 +4776,12 @@ QUERIES = {
     "tpch_q4_order_priority": q_tpch_q4_order_priority,
     "tpch_q10_returned_items": q_tpch_q10_returned_items,
     "dedup_minhash_signatures": q_dedup_minhash,
+    # Rotated IN for round 5 (the r04 verdict's top directive): the ONLY
+    # registry entry never driver-certified — red in r02, rewritten with the
+    # whole-distribution vanishing-guard skew check, rows-only green locally
+    # ever since, but the rewrite never faced the gate until now.
+    "h13_bucket_distribution": q_h13_bucket_distribution,
     # r02-certified, unique certifying row for their op — stay in window
-    "s1_s2_binary_scan": q_s1_s2_binary_scan,
     "m1_token_classifier": q_m1_token_classifier,
     "m2_bio_entity_merge": q_bio_entity_merge,
     "h9_line_items": q_h9_line_items,
@@ -4793,8 +4797,7 @@ QUERIES = {
     # kernels inside the in-window flagship pipeline row), or a past green
     # DRIVER row stands (TPC-H q1/q3/q5/q17, h5, simhash, m6, audio,
     # video_frame_sample — whose multimodal plumbing keeps the in-window
-    # multimodal_features row — and rows-only h13 whose check is identical
-    # wherever it runs).
+    # multimodal_features row).
     # Rotated OUT in round 4 to make room for the never-driver-certified
     # rows (the r03 verdict's top directive): s4_multipage_order,
     # m4_cord_parse, h7_date_iso, o1_ocr_roundtrip, p_ops_image_math,
@@ -4828,7 +4831,10 @@ QUERIES = {
     "h3_subtotal_window": q_h3_subtotal_window,
     "h4_tax_window": q_h4_tax_window,
     "h6_date_regex": q_h6_date_regex,
-    "h13_bucket_distribution": q_h13_bucket_distribution,
+    # Rotated OUT in round 5 to make room for h13 (the one never-certified
+    # row): s1_s2_binary_scan is TRIPLE-certified (green driver rows r02,
+    # r03 AND r04 with the scan code unchanged since r02).
+    "s1_s2_binary_scan": q_s1_s2_binary_scan,
     # exact dedup also runs inside the in-window curate_documents plan
     "dedup_exact": q_dedup_exact,
     # O6 subword tokenization's box-inherit pattern is also pinned by the
