@@ -75,16 +75,23 @@ def url_blocklist_filter(
     """RefinedWeb-style URL filtering (Penedo et al. 2023 drop pages by
     domain blocklist + URL pattern before any content processing):
     annotates every row with ``drop_reason`` — 'domain' when the url's
-    registrable host (canonicalized: lowercase, port stripped) appears in
-    ``blocked_domains(domain)``, else 'pattern' when any regex in
-    ``blocked_path_res`` matches the canonical url, else NULL (kept).
+    host (canonicalized: lowercase, port stripped) OR its registrable
+    domain (approximated as the host's last two labels — a blocklisted
+    ``example.com`` also blocks ``www.example.com``, as real RefinedWeb
+    domain lists do; no public-suffix list in this sandbox, so two-label
+    ccTLD registries like ``example.co.uk`` need the full host listed)
+    appears in ``blocked_domains(domain)``, else 'pattern' when any regex
+    in ``blocked_path_res`` matches the canonical url, else NULL (kept).
 
     Scale shape: the blocklist (real-world lists are 1-10M rows — MBs)
-    BROADCASTS into a left join against the canonicalized host, so the
-    TB-side corpus never shuffles; the pattern pass is a codegen'd
-    regexp chain. Filtering is the caller's `where(drop_reason is null)`
-    — returning the annotation keeps per-rule drop counts one groupBy
-    away (the curation-metrics table every crawl pipeline wants).
+    BROADCASTS into TWO map-side left equi-joins (exact host, then
+    two-label suffix — an OR join condition would degrade to a nested-
+    loop join, and exploding host+suffix keys would double the corpus
+    rows), so the TB-side corpus never shuffles; the pattern pass is a
+    codegen'd regexp chain. Filtering is the caller's
+    `where(drop_reason is null)` — returning the annotation keeps
+    per-rule drop counts one groupBy away (the curation-metrics table
+    every crawl pipeline wants).
     """
     # distinct: real blocklists carry duplicate entries, and a duplicated
     # domain row would fan the left join out and double every matching
@@ -92,23 +99,34 @@ def url_blocklist_filter(
     blocked = blocked_domains.select(
         F.col("domain").alias("_blocked_domain")
     ).distinct().withColumn("_dom_hit", F.lit(True))
+    blocked_reg = blocked.select(
+        F.col("_blocked_domain").alias("_blocked_reg"),
+        F.col("_dom_hit").alias("_reg_hit"),
+    )
     # canonicalize ONCE into a named column; host and the pattern chain
     # both read it back so the regexp cascade runs a single time per row
     canon = F.col("_canon")
     host = F.regexp_extract(canon, r"^[a-z0-9+.-]+://([^/:?#]*)", 1)
+    # registrable-domain approximation: the host's last two dot-labels
+    # (empty for single-label hosts like 'localhost' — never matches)
+    host_reg = F.regexp_extract(F.col("_host"), r"([^.]+\.[^.]+)$", 1)
     pattern_hit = F.lit(False)
     for rx in blocked_path_res:
         pattern_hit = pattern_hit | (F.regexp_count(canon, F.lit(rx)) > 0)
     return (
         df.withColumn("_canon", canonical_url_col(F.col(url_col)))
         .withColumn("_host", host)
+        .withColumn("_host_reg", host_reg)
         .join(F.broadcast(blocked), F.col("_host") == F.col("_blocked_domain"),
               "left")
+        .join(F.broadcast(blocked_reg),
+              F.col("_host_reg") == F.col("_blocked_reg"), "left")
         .withColumn(
             "drop_reason",
-            F.when(F.col("_dom_hit"), F.lit("domain"))
+            F.when(F.col("_dom_hit") | F.col("_reg_hit"), F.lit("domain"))
             .when(pattern_hit, F.lit("pattern"))
             .otherwise(F.lit(None).cast("string")),
         )
-        .drop("_blocked_domain", "_dom_hit", "_canon", "_host")
+        .drop("_blocked_domain", "_dom_hit", "_blocked_reg", "_reg_hit",
+              "_canon", "_host", "_host_reg")
     )

@@ -113,6 +113,43 @@ def curate_documents(
     return survivors.select("doc_id", "lang_id", "quality_score")
 
 
+def _invalidate_stale_checkpoints(
+    spark: SparkSession, ckpt_dir: str, params: dict
+) -> None:
+    """Guard against silently reusing checkpoints computed under DIFFERENT
+    parameters (r4 ADVICE): a ``params-<md5-of-params>`` marker file at the
+    checkpoint root records the parameter fingerprint — no file contents to
+    read, existence IS the check. On mismatch (a marker for other params,
+    or committed stages with no marker at all, e.g. a pre-upgrade dir),
+    every stage _SUCCESS marker is deleted FIRST, then the new marker is
+    written: a kill at any point leaves either invalidated stages (safe
+    rerun) or a marker that truthfully covers every stage committed after
+    it. Matching marker → plain resume, untouched."""
+    import hashlib
+    import json
+
+    fp = hashlib.md5(
+        json.dumps(params, sort_keys=True).encode()
+    ).hexdigest()
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    root = hadoop_path(ckpt_dir)
+    fs = root.getFileSystem(conf)
+    marker = hadoop_path(os.path.join(ckpt_dir, f"params-{fp}"))
+    if fs.exists(marker):
+        return
+    if fs.exists(root):
+        stale = fs.globStatus(hadoop_path(os.path.join(ckpt_dir, "params-*")))
+        for st in stale or []:
+            fs.delete(st.getPath(), False)
+        for stage in ("exact", "pairs", "clusters"):
+            fs.delete(
+                hadoop_path(os.path.join(ckpt_dir, stage, "_SUCCESS")), False
+            )
+    fs.create(marker, True).close()
+
+
 def _stage_done(spark: SparkSession, path: str) -> bool:
     """A stage is committed iff its parquet _SUCCESS marker exists (the
     same commit protocol Spark's own FileOutputCommitter uses — a killed
@@ -146,7 +183,12 @@ def curate_documents_checkpointed(
 
     Each stage is skipped when its parquet _SUCCESS marker exists (the
     atomic-commit convention run_job's manifest also relies on); a stage
-    killed mid-write leaves no marker and reruns cleanly. Returns the
+    killed mid-write leaves no marker and reruns cleanly. A
+    ``params-<fingerprint>`` marker at the checkpoint root ties the stages
+    to THESE parameters — rerunning against an existing ckpt_dir with
+    different (lang, min_quality, minhash_k, band_rows) invalidates and
+    recomputes every stage instead of silently returning results computed
+    under the old parameters. Returns the
     surviving (doc_id, lang_id, quality_score) rows, lazily, from the
     committed tables.
 
@@ -155,6 +197,12 @@ def curate_documents_checkpointed(
     exact_path = os.path.join(ckpt_dir, "exact")
     pairs_path = os.path.join(ckpt_dir, "pairs")
     clusters_path = os.path.join(ckpt_dir, "clusters")
+
+    _invalidate_stale_checkpoints(spark, ckpt_dir, {
+        "id_col": id_col, "text_col": text_col, "lang": lang,
+        "min_quality": min_quality, "minhash_k": minhash_k,
+        "band_rows": band_rows,
+    })
 
     if not _stage_done(spark, exact_path):
         base = docs.select(

@@ -1202,9 +1202,16 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_TEMPERATURE = """
+    -- NULL sources mirror the operator's sentinel stratum (chr(0)-prefixed
+    -- so it sorts first in the ordered fold, exactly like Spark's
+    -- "\\x00<null>"): group, fold and join all on the coalesced key, or a
+    -- nullable source column would drop its rows from the join while still
+    -- counting them in n_total (r4 ADVICE fix; sf data currently has no
+    -- NULL sources, so this is robustness, not a value change)
     with counts as (
-        select source as _src, count(*) as source_rows
-        from documents group by source
+        select coalesce(source, chr(0) || '<null>') as _src,
+            count(*) as source_rows
+        from documents group by 1
     ),
     total as (
         select cast(sum(source_rows) as double) as n_total,
@@ -1223,7 +1230,8 @@ _ORACLE_TEMPERATURE = """
     )
     select d.doc_id, d.source, r.source_rows,
         round(r.keep_rate, 6) as keep_rate
-    from documents d join rates r on d.source = r._src
+    from documents d
+    join rates r on coalesce(d.source, chr(0) || '<null>') = r._src
     where ('0x' || substr(md5('dp-mix:' || d.doc_id), 1, 8))::bigint
           / 4294967296.0 < r.keep_rate
 """
@@ -1364,8 +1372,11 @@ _ORACLE_INCREMENTAL = """
 
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style URL filtering (urlnorm.url_blocklist_filter): urls
-    synthesized deterministically from doc ids across 5 domains; domain
-    site3 is blocklisted (broadcast anti-annotation) and paths ending in
+    synthesized deterministically from doc ids — doc_id%11==0 rows live on
+    cdnN.badsite.org subdomains, the rest across 5 siteN.example.com
+    hosts. Blocklist carries the exact host site3.example.com AND the
+    registrable domain badsite.org (which must catch every cdnN subdomain
+    via the two-label-suffix join — the r4 ADVICE fix); paths ending in
     /tracker are pattern-blocked; domain outranks pattern."""
     from .operators.urlnorm import url_blocklist_filter
 
@@ -1373,9 +1384,17 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = docs.select(
         "doc_id",
         F.concat(
-            F.lit("https://site"),
-            (F.col("doc_id") % 5).cast("string"),
-            F.lit(".example.com/page/"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit("https://cdn"),
+                         (F.col("doc_id") % 3).cast("string"),
+                         F.lit(".badsite.org")),
+            ).otherwise(
+                F.concat(F.lit("https://site"),
+                         (F.col("doc_id") % 5).cast("string"),
+                         F.lit(".example.com")),
+            ),
+            F.lit("/page/"),
             F.col("doc_id").cast("string"),
             F.when(F.col("doc_id") % 7 == 0, F.lit("/tracker")).otherwise(
                 F.lit("")
@@ -1383,7 +1402,7 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     blocked = spark.createDataFrame(
-        [("site3.example.com",)], ["domain"]
+        [("site3.example.com",), ("badsite.org",)], ["domain"]
     )
     return url_blocklist_filter(
         urls, blocked, blocked_path_res=(r"/tracker$",)
@@ -1392,9 +1411,13 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_URL_BLOCKLIST = """
     select doc_id,
-        'https://site' || (doc_id % 5) || '.example.com/page/' || doc_id
+        case when doc_id % 11 = 0
+             then 'https://cdn' || (doc_id % 3) || '.badsite.org'
+             else 'https://site' || (doc_id % 5) || '.example.com' end
+            || '/page/' || doc_id
             || case when doc_id % 7 = 0 then '/tracker' else '' end as url,
-        case when doc_id % 5 = 3 then 'domain'
+        case when doc_id % 11 = 0 then 'domain'
+             when doc_id % 5 = 3 then 'domain'
              when doc_id % 7 = 0 then 'pattern'
              else null end as drop_reason
     from documents

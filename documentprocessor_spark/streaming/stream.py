@@ -81,10 +81,17 @@ def running_totals(prepared: DataFrame, key_col: str,
                    bytes_name: str = "total_bytes") -> DataFrame:
     """Generic stateful streaming totals: `prepared` must have columns
     (key_col, size_bytes long); emits (key_col, count_name, bytes_name)
-    running totals per key, update mode."""
+    running totals per key, update mode. The output key column keeps
+    ``prepared``'s key type (an int domain id stays an int — the schema is
+    derived, not hardcoded to string; r4 ADVICE fix)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    out_schema = f"{key_col} string, {count_name} long, {bytes_name} long"
+    out_schema = StructType([
+        StructField(key_col, prepared.schema[key_col].dataType),
+        StructField(count_name, LongType()),
+        StructField(bytes_name, LongType()),
+    ])
     return prepared.groupBy(key_col).applyInPandasWithState(
         _make_totals_fn(key_col, count_name, bytes_name),
         outputStructType=out_schema,

@@ -332,6 +332,31 @@ def test_checkpointed_curation_resumes_past_completed_stages(
     assert resumed == first
 
 
+def test_checkpointed_curation_invalidates_on_param_change(spark, tmp_path):
+    """Rerunning against an existing ckpt_dir with DIFFERENT parameters
+    must recompute the stages, not silently return results computed under
+    the old parameters (r4 ADVICE)."""
+    from documentprocessor_spark.plans.curate import (
+        curate_documents_checkpointed)
+
+    docs = spark.createDataFrame(CKPT_DOCS, ["doc_id", "text"])
+    ck = str(tmp_path / "ck")
+    first = {r["doc_id"] for r in
+             curate_documents_checkpointed(spark, docs, ck).collect()}
+    assert first  # baseline keeps something
+
+    # an impossible quality bar: stale-checkpoint reuse would return
+    # `first`, a correct invalidation returns nothing
+    strict = curate_documents_checkpointed(
+        spark, docs, ck, min_quality=1.5)
+    assert strict.count() == 0
+
+    # switching back recomputes again under the original parameters
+    back = {r["doc_id"] for r in
+            curate_documents_checkpointed(spark, docs, ck).collect()}
+    assert back == first
+
+
 def test_curate_exact_substr_stage(spark):
     """exact_substr_k adds a clean_text column with cross-doc duplicated
     spans cut from SURVIVOR texts (built after near-dup dropping)."""

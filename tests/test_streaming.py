@@ -173,3 +173,45 @@ def test_dedup_stream_first_seen_wins_across_microbatches(spark, tmp_path):
     urls = [r.url for r in out]
     assert len(urls) == len(set(urls)) == 15  # 0..14 once each
     assert set(urls) == {f"https://a.example/{i}" for i in range(15)}
+
+
+def test_running_totals_non_string_key(spark, tmp_path):
+    """running_totals keeps the key column's type (r4 ADVICE): an int
+    bucket id key must come back as a long, with correct final totals."""
+    from documentprocessor_spark.streaming.stream import running_totals
+
+    df = spark.createDataFrame(
+        [(i % 3, 10 * (i + 1)) for i in range(12)],
+        "bucket long, size_bytes long",
+    )
+    in_dir = str(tmp_path / "in_int")
+    df.repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("bucket long, size_bytes long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        running_totals(stream, "bucket")
+        .writeStream.format("memory")
+        .queryName("int_key_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from int_key_totals")
+    assert dict(out.dtypes)["bucket"] == "bigint"
+    final = {}
+    for r in out.collect():
+        prev = final.get(r["bucket"], (0, 0))
+        final[r["bucket"]] = (max(prev[0], r["n_rows"]),
+                              max(prev[1], r["total_bytes"]))
+    expected = {
+        r["bucket"]: (r["n"], r["b"])
+        for r in df.groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.sum("size_bytes").cast("long").alias("b"))
+        .collect()
+    }
+    assert final == expected
