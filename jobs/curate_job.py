@@ -4,7 +4,8 @@ plans.curate over a documents parquet table.
     spark-submit --py-files dp.zip jobs/curate_job.py \\
         --input <docs parquet> --output <dir> \\
         [--lang en] [--min-quality 0.3] [--transitive] \\
-        [--exact-substr-k 50] [--checkpoint <ckpt dir>]
+        [--exact-substr-k 50] [--checkpoint <ckpt dir>] \\
+        [--chunk-tokens 512 [--chunk-stride 256]] [--winnow-k 5 [--winnow-w 4]]
 
 Writes the surviving rows as parquet under <output>/curated and prints
 one JSON stats line. ``--checkpoint`` switches to the per-stage
@@ -12,6 +13,16 @@ checkpointed plan (curate_documents_checkpointed — transitive by
 construction, resumable past the connected-components stage after a
 kill); without it the single-plan curate_documents runs, honoring
 ``--transitive`` and ``--exact-substr-k``.
+
+Optional post-curation stages over the SURVIVORS (both map-only over the
+curated set; they run on clean_text when --exact-substr-k produced one,
+else on the original text joined back by id):
+
+- ``--chunk-tokens N [--chunk-stride S]`` → <output>/chunks —
+  sliding-window training chunks (operators.packing.chunk_documents).
+- ``--winnow-k K [--winnow-w W]`` → <output>/fingerprints — MOSS
+  winnowing fingerprints (operators.dedup.winnow_fingerprints), the
+  compact per-doc signature table downstream overlap tooling joins on.
 """
 
 from __future__ import annotations
@@ -36,6 +47,16 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
     parser.add_argument("--exact-substr-k", type=int, default=None)
     parser.add_argument("--checkpoint", default=None,
                         help="per-stage checkpoint dir (implies transitive)")
+    parser.add_argument("--chunk-tokens", type=int, default=None,
+                        help="also write <output>/chunks (sliding-window "
+                             "chunking of the curated survivors)")
+    parser.add_argument("--chunk-stride", type=int, default=None,
+                        help="chunk stride (default: chunk-tokens, disjoint)")
+    parser.add_argument("--winnow-k", type=int, default=None,
+                        help="also write <output>/fingerprints (MOSS "
+                             "winnowing, k-token shingles)")
+    parser.add_argument("--winnow-w", type=int, default=4,
+                        help="winnowing window in shingles (default 4)")
     args = parser.parse_args(argv)
 
     from documentprocessor_spark.plans.curate import (
@@ -81,6 +102,44 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
     n_in = obs.get["rows_in"] if obs is not None else (
         spark.read.parquet(args.input).count()
     )
+    extra = {}
+    if args.chunk_tokens is not None or args.winnow_k is not None:
+        from pyspark.sql import functions as F
+
+        curated = spark.read.parquet(dest)
+        if "clean_text" in curated.columns:
+            # the ExactSubstr stage already carried the survivor text through
+            texts = curated.select("doc_id",
+                                   F.col("clean_text").alias("text"))
+        else:
+            # semi-join the survivor ids back to the input for their text —
+            # the id set streams broadcast/shuffle-pruned, text never rides
+            # a shuffle it wasn't going to anyway
+            texts = (
+                spark.read.parquet(args.input)
+                .select(F.col(args.id_col).alias("doc_id"),
+                        F.col(args.text_col).alias("text"))
+                .join(curated.select("doc_id"), "doc_id", "left_semi")
+            )
+        if args.chunk_tokens is not None:
+            from documentprocessor_spark.operators.packing import (
+                chunk_documents)
+
+            chunk_documents(
+                texts, "doc_id", "text",
+                chunk_tokens=args.chunk_tokens, stride=args.chunk_stride,
+            ).write.mode("overwrite").parquet(f"{args.output}/chunks")
+            extra["n_chunks"] = spark.read.parquet(
+                f"{args.output}/chunks").count()
+        if args.winnow_k is not None:
+            from documentprocessor_spark.operators.dedup import (
+                winnow_fingerprints)
+
+            winnow_fingerprints(
+                texts, "doc_id", "text", k=args.winnow_k, w=args.winnow_w,
+            ).write.mode("overwrite").parquet(f"{args.output}/fingerprints")
+            extra["n_fingerprints"] = spark.read.parquet(
+                f"{args.output}/fingerprints").count()
     print(json.dumps({
         "rows_in": n_in,
         "rows_kept": n_out,
@@ -88,6 +147,7 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
         "mode": "checkpointed" if args.checkpoint
                 else ("transitive" if args.transitive else "one-pass"),
         "exact_substr_k": args.exact_substr_k,
+        **extra,
         "elapsed_sec": round(time.monotonic() - t0, 3),
     }))
     if stop_session:

@@ -399,3 +399,41 @@ def test_curate_job_cli(spark, tmp_path, capsys):
     kept_ck = {r["doc_id"] for r in
                spark.read.parquet(out + "/curated").collect()}
     assert kept_ck == kept_onepass  # same clusters on this corpus
+
+
+def test_curate_job_cli_chunk_and_winnow_stages(spark, tmp_path, capsys):
+    """--chunk-tokens / --winnow-k write post-curation tables over the
+    SURVIVORS only, matching the operators run directly on the survivor
+    text (r4 verdict directive: newest certified ops reachable from
+    spark-submit, not only the query registry)."""
+    import json
+
+    from documentprocessor_spark.operators.dedup import winnow_fingerprints
+    from documentprocessor_spark.operators.packing import chunk_documents
+    from jobs.curate_job import main
+
+    docs = spark.createDataFrame(CKPT_DOCS, ["doc_id", "text"])
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    main(["--input", src, "--output", out, "--min-quality", "0.0",
+          "--chunk-tokens", "6", "--chunk-stride", "3",
+          "--winnow-k", "3", "--winnow-w", "2"], stop_session=False)
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    kept = spark.read.parquet(out + "/curated").select("doc_id")
+    survivor_texts = docs.join(kept, "doc_id", "left_semi")
+    want_chunks = chunk_documents(
+        survivor_texts, "doc_id", "text", chunk_tokens=6, stride=3)
+    got_chunks = spark.read.parquet(out + "/chunks")
+    assert got_chunks.count() == stats["n_chunks"] == want_chunks.count() > 0
+    assert (got_chunks.exceptAll(want_chunks).count() == 0
+            and want_chunks.exceptAll(got_chunks).count() == 0)
+    # chunks exist ONLY for survivors
+    assert got_chunks.join(kept, "doc_id", "left_anti").count() == 0
+
+    want_fps = winnow_fingerprints(survivor_texts, "doc_id", "text", k=3, w=2)
+    got_fps = spark.read.parquet(out + "/fingerprints")
+    assert got_fps.count() == stats["n_fingerprints"] == want_fps.count() > 0
+    assert (got_fps.exceptAll(want_fps).count() == 0
+            and want_fps.exceptAll(got_fps).count() == 0)
