@@ -379,7 +379,8 @@ def release_span_cache() -> None:
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                     k: int = DEFAULT_SPAN_K,
                     min_docs: int = 2,
-                    df_cap: int = DEFAULT_SPAN_DF_CAP) -> DataFrame:
+                    df_cap: int = DEFAULT_SPAN_DF_CAP,
+                    maxlen: int | None = None) -> DataFrame:
     """Cross-document exact-substring detection ("Deduplicating Training
     Data Makes Language Models Better", Lee et al. 2022 — the ExactSubstr
     pass, reformulated relationally): emit, per document, the MAXIMAL token
@@ -392,32 +393,26 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
 
     Not a suffix array: the reference algorithm builds a monolithic suffix
     array, which cannot shard. The relational twin hashes every overlapping
-    k-token window (md5-prefix int64, portable to the DuckDB oracle),
-    counts distinct docs per window hash, keeps hashes seen in
+    k-token window (Rabin-Karp rolling hash, functions/rolling.py — O(1)
+    per position after one md5 per TOKEN, replacing the round-4 O(k)
+    md5-per-window; same ~60-bit cross-engine-exact key contract), counts
+    distinct docs per window hash, keeps hashes seen in
     [min_docs, df_cap] docs, joins back, and merges overlapping windows per
-    doc with a lag/cumsum interval union.
+    doc with a lag/cumsum interval union. ``maxlen`` (default
+    rolling.DEFAULT_MAXLEN = 65536) bounds tokens/doc; longer docs fail
+    fast rather than silently truncate.
 
     Scale shape (100 TB): deliberately count-then-join, NOT the
     groupBy-collect shape ngram_jaccard_pairs uses — site boilerplate makes
     some window hashes astronomically hot, and a collect_set on those keys
     is unbounded, while countDistinct partial-aggregates (doc_id, hash)
     pairs map-side and the df_cap filter runs BEFORE the join, so the worst
-    surviving join key is df_cap rows by construction. Three shuffles
-    (distinct-count, join, per-doc merge window), all on 8-byte keys; the
-    wide text column never shuffles.
+    surviving join key is df_cap rows by construction. Four shuffles
+    (rolling prefix-sum window on doc_id, distinct-count, join, per-doc
+    merge window), all on 8-byte keys; the wide text column never
+    shuffles, and the hash work the extra shuffle buys back is k-fold.
     """
-    toks = F.split(F.col(text_col), " ")
-    n_win = F.size(toks) - F.lit(k - 1)
-    win_structs = F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_win - 1),
-            lambda i: F.struct(
-                i.cast("long").alias("span_start"),
-                _h60(F.array_join(F.slice(toks, i + 1, k), " ")).alias("win_hash"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<span_start:bigint,win_hash:bigint>>"))
+    from ..functions.rolling import DEFAULT_MAXLEN, rolling_window_hashes
     from ..partitioning import ensure_min_parallelism
 
     slim = ensure_min_parallelism(
@@ -425,9 +420,11 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     )
     release_span_cache()
     windows = (
-        slim.select("doc_id", win_structs.alias("w"))
-        .select("doc_id", F.explode("w").alias("w"))
-        .select("doc_id", "w.span_start", "w.win_hash")
+        rolling_window_hashes(
+            slim, "doc_id", text_col, k, maxlen or DEFAULT_MAXLEN
+        )
+        .withColumnRenamed("pos", "span_start")
+        .select("doc_id", "span_start", "win_hash")
         .persist()
     )
     _SPAN_CACHE.append(windows)
@@ -531,7 +528,8 @@ def incremental_dedup(delta: DataFrame, index_hashes: DataFrame,
 def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                            k: int = DEFAULT_SPAN_K,
                            min_docs: int = 2,
-                           df_cap: int = DEFAULT_SPAN_DF_CAP) -> DataFrame:
+                           df_cap: int = DEFAULT_SPAN_DF_CAP,
+                           maxlen: int | None = None) -> DataFrame:
     """The REMOVAL step of ExactSubstr dedup (Lee et al. 2022 cut the
     duplicated byte ranges out of every document; this is the token-range
     twin): returns (doc_id, clean_text, n_tokens_removed) where clean_text
@@ -544,7 +542,7 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     the text column is touched exactly once, map-side, after the id-only
     span machinery."""
     spans = (
-        duplicate_spans(df, id_col, text_col, k, min_docs, df_cap)
+        duplicate_spans(df, id_col, text_col, k, min_docs, df_cap, maxlen)
         .groupBy("doc_id")
         .agg(
             F.collect_list(
@@ -616,7 +614,8 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str,
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
-                        k: int = 5, w: int = 4) -> DataFrame:
+                        k: int = 5, w: int = 4,
+                        maxlen: int | None = None) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
     per document, hash every overlapping k-token window, slide a w-window
     over the hash sequence, and select each w-window's minimum — the
@@ -631,35 +630,26 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
     Returns distinct (doc_id, fp_pos, fp_hash).
 
-    Relational formulation: the per-window argmin rides a single window
-    function over a sort key that IS the (hash, pos) order — the 60-bit
-    hash zero-padded to 19 digits concatenated with the zero-padded
-    position, so lexicographic min == numeric (hash, pos) min in both
-    engines. One Exchange (the per-doc window); distinct collapses the
-    repeated selections map-side first.
+    Relational formulation: window hashes come from the shared Rabin-Karp
+    rolling-hash stage (functions/rolling.py — O(1) per position, one md5
+    per token, ~62-bit packed key; round-5 replacement for the O(k)
+    md5-per-window); the per-window argmin rides a single window function
+    over a sort key that IS the (hash, pos) order — the sub-2**63 hash
+    zero-padded to 19 digits concatenated with the zero-padded position,
+    so lexicographic min == numeric (hash, pos) min in both engines. The
+    rolling prefix-sum window and the argmin window share the SAME
+    partitioning (doc_id) and sort (pos), so the plan still carries ONE
+    Exchange; distinct collapses the repeated selections map-side first.
     """
-    toks = F.split(F.col(text_col), " ")
-    n_win = F.size(toks) - F.lit(k - 1)
-    win_structs = F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_win - 1),
-            lambda i: F.struct(
-                i.cast("long").alias("pos"),
-                _h60(F.array_join(F.slice(toks, i + 1, k), " ")).alias("h"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:bigint,h:bigint>>"))
+    from ..functions.rolling import DEFAULT_MAXLEN, rolling_window_hashes
     from ..partitioning import ensure_min_parallelism
 
     slim = ensure_min_parallelism(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
     )
-    hashes = (
-        slim.select("doc_id", win_structs.alias("ws"))
-        .select("doc_id", F.explode("ws").alias("w"))
-        .select("doc_id", "w.pos", "w.h")
-    )
+    hashes = rolling_window_hashes(
+        slim, "doc_id", text_col, k, maxlen or DEFAULT_MAXLEN
+    ).withColumnRenamed("win_hash", "h")
     key = F.concat(
         F.lpad(F.col("h").cast("string"), 19, "0"),
         F.lit(":"),

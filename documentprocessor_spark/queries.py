@@ -1038,21 +1038,24 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact-substring spans (Lee et al. 2022 ExactSubstr,
     relational form): maximal token ranges covered by a 20-token window
     that appears verbatim in >= 2 distinct documents. k=20 (not the
-    production 50) because the sf corpus averages ~54 tokens/doc."""
+    production 50) because the sf corpus averages ~54 tokens/doc;
+    maxlen=1024 keeps the oracle's recursive powers CTE small (fixture
+    docs are <= 100 tokens)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.duplicate_spans(docs, "doc_id", "text", k=20)
+    return dedup.duplicate_spans(docs, "doc_id", "text", k=20, maxlen=1024)
 
+
+from .functions.rolling import rolling_oracle_ctes as _roll_ctes  # noqa: E402
 
 # lag must sit in its own CTE (DuckDB can't nest window fns), the interval
 # union is the same lag/cumsum sessionization as the Spark side; all keys
 # bigint (range's i is bigint; Spark casts span_start to long to match).
-_ORACLE_DEDUP_SPANS = """
-    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
-    win as (
-        select doc_id, i as span_start,
-            ('0x' || substr(md5(array_to_string(toks[i + 1:i + 20], ' ')), 1, 15))::bigint as win_hash
-        from tok, lateral unnest(range(len(toks) - 19)) as u(i)
-    ),
+# Window hashes are the Rabin-Karp rolling CTEs generated from
+# functions/rolling.py — ONE spelling shared with the Spark side.
+_ORACLE_DEDUP_SPANS = f"""
+    with recursive docs_src as (select doc_id, text from documents),
+    {_roll_ctes(k=20, maxlen=1024)},
+    win as (select doc_id, pos as span_start, win_hash from roll_win),
     dup as (
         select win_hash from win
         group by win_hash
@@ -1086,19 +1089,19 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.remove_duplicate_spans — detection joined back and applied as
     a native token-array filter in codegen)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.remove_duplicate_spans(docs, "doc_id", "text", k=20)
+    return dedup.remove_duplicate_spans(
+        docs, "doc_id", "text", k=20, maxlen=1024
+    )
 
 
 # same span CTEs as _ORACLE_DEDUP_SPANS, then: tokens not covered by any
 # span survive, string_agg in position order rebuilds the text; docs whose
 # every token is covered collapse to '' via the left-join coalesce.
-_ORACLE_SPAN_REMOVAL = """
-    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
-    win as (
-        select doc_id, i as span_start,
-            ('0x' || substr(md5(array_to_string(toks[i + 1:i + 20], ' ')), 1, 15))::bigint as win_hash
-        from tok, lateral unnest(range(len(toks) - 19)) as u(i)
-    ),
+_ORACLE_SPAN_REMOVAL = f"""
+    with recursive docs_src as (select doc_id, text from documents),
+    {_roll_ctes(k=20, maxlen=1024)},
+    tok as (select doc_id, string_split(text, ' ') as toks from documents),
+    win as (select doc_id, pos as span_start, win_hash from roll_win),
     dup as (
         select win_hash from win
         group by win_hash
@@ -1269,19 +1272,18 @@ _ORACLE_CHUNKS = """
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (dedup.winnow_fingerprints, MOSS scheme):
-    5-token window hashes, per-4-window leftmost minimum, distinct
+    5-token rolling window hashes, per-4-window leftmost minimum, distinct
     (doc_id, fp_pos, fp_hash)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    return dedup.winnow_fingerprints(
+        docs, "doc_id", "text", k=5, w=4, maxlen=1024
+    )
 
 
-_ORACLE_WINNOW = """
-    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
-    win as (
-        select doc_id, i as pos,
-            ('0x' || substr(md5(array_to_string(toks[i + 1:i + 5], ' ')), 1, 15))::bigint as h
-        from tok, lateral unnest(range(len(toks) - 4)) as u(i)
-    ),
+_ORACLE_WINNOW = f"""
+    with recursive docs_src as (select doc_id, text from documents),
+    {_roll_ctes(k=5, maxlen=1024)},
+    win as (select doc_id, pos, win_hash as h from roll_win),
     keyed as (
         select doc_id, pos,
             lpad(h::varchar, 19, '0') || ':' || lpad(pos::varchar, 10, '0') as key

@@ -329,3 +329,40 @@ def test_chunk_documents_matches_python_fuzz(spark, texts, chunk, stride):
         for r in chunk_documents(df, "doc_id", "text", chunk, stride).collect()
     }
     assert got == _py_chunks(docs, chunk, stride)
+
+
+# -- rolling window hashes ≡ pure-Python twin, bit-for-bit -----------------
+
+_roll_doc = st.lists(
+    st.sampled_from(["a", "b", "ab", "ba", "longtoken", "x1"]),
+    min_size=0, max_size=30,
+).map(" ".join)
+
+
+@given(texts=st.lists(_roll_doc, min_size=1, max_size=5),
+       k=st.integers(min_value=1, max_value=6))
+@settings(max_examples=12, deadline=None)
+def test_rolling_window_hashes_match_python_twin(spark, texts, k):
+    """functions/rolling: the Spark window-hash values must be BIT-identical
+    to py_window_hashes (the same 62-bit packed Rabin-Karp key both DuckDB
+    oracles spell) — on empty docs, docs shorter than k, repeated tokens,
+    and every position. The repeated small vocab forces identical windows
+    at many positions; their hashes must collide exactly."""
+    from documentprocessor_spark.functions.rolling import (
+        py_window_hashes, rolling_window_hashes)
+
+    maxlen = 64
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in rolling_window_hashes(df, "doc_id", "text", k, maxlen).collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.win_hash))
+    for d in got:
+        got[d].sort()
+    want = {
+        i: py_window_hashes(t.split(" "), k, maxlen)
+        for i, t in docs
+        if len(t.split(" ")) >= k
+    }
+    want = {i: v for i, v in want.items() if v}
+    assert got == want
