@@ -261,12 +261,78 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-# The single persisted `rare` intermediate of the latest ngram_jaccard_pairs
-# call. Each new call unpersists the previous one, so repeated sweeps in a
-# long-lived session never accumulate executor cache; call
-# release_jaccard_cache() after consuming the returned DataFrame to free
-# the last handle (unpersist is lazy-safe: a not-yet-consumed plan simply
-# recomputes the stage).
+# ---------------------------------------------------------------- caches
+#
+# Operators that persist an intermediate (ngram_jaccard_pairs'`rare`,
+# duplicate_spans' `windows`) register the handle in ONE of two places:
+#
+# - inside a `with dedup_cache_scope() as scope:` block (thread-local),
+#   the handle joins the scope and is unpersisted when the block exits —
+#   concurrent driver threads and interleaved sweeps each own their
+#   persists and cannot drop each other's (r3/r4 ADVICE, applied r5);
+# - otherwise the legacy single-slot module global: each new call
+#   unpersists the previous one, so repeated sweeps in a long-lived
+#   session never accumulate executor cache; release_jaccard_cache() /
+#   release_span_cache() free the last handle. (Unpersist is lazy-safe:
+#   a not-yet-consumed plan simply recomputes the stage.)
+
+import threading
+
+_SCOPE_STACK = threading.local()
+
+
+class DedupCacheScope:
+    """Collects the DataFrames persisted by dedup operator calls made
+    inside its `with` block; unpersists them all on exit."""
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> None:
+        self._dfs.append(df)
+
+    def release(self) -> None:
+        while self._dfs:
+            try:
+                self._dfs.pop().unpersist()
+            except Exception:  # session already stopped
+                pass
+
+    def __enter__(self) -> "DedupCacheScope":
+        stack = getattr(_SCOPE_STACK, "stack", None)
+        if stack is None:
+            stack = _SCOPE_STACK.stack = []
+        stack.append(self)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        _SCOPE_STACK.stack.pop()
+        self.release()
+
+
+def dedup_cache_scope() -> DedupCacheScope:
+    """Scoped ownership of dedup intermediates' persists — see module
+    cache notes. Usage::
+
+        with dedup_cache_scope():
+            pairs = ngram_jaccard_pairs(...)
+            spans = duplicate_spans(...)
+            ...consume both...
+        # both intermediates unpersisted here, nobody else's dropped
+    """
+    return DedupCacheScope()
+
+
+def _register_persist(df: DataFrame, legacy_slot: list[DataFrame],
+                      legacy_release) -> None:
+    stack = getattr(_SCOPE_STACK, "stack", None)
+    if stack:
+        stack[-1].add(df)
+    else:
+        legacy_release()
+        legacy_slot.append(df)
+
+
 _JACCARD_CACHE: list[DataFrame] = []
 
 
@@ -305,19 +371,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # `rare` is the compact grouped form (one row per surviving shingle);
     # it feeds both the pair explosion and the per-doc sizes, so persist it
     # (at full crawl scale this intermediate checkpoints to storage).
-    # Cache lifecycle: each call releases the PREVIOUS call's handle before
-    # persisting (executor cache is bounded at one `rare` relation no
-    # matter how many sweeps a long-lived session runs), and
-    # release_jaccard_cache() frees the last one once the returned
-    # DataFrame has been consumed.
-    release_jaccard_cache()
+    # Cache lifecycle: see the module cache notes — inside a
+    # dedup_cache_scope the handle belongs to the scope; otherwise the
+    # legacy single slot (each call releases the previous call's handle,
+    # release_jaccard_cache() frees the last).
     rare = (
         pairs.groupBy("sh_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
         .where(F.size("docs") <= df_cap)
         .persist()
     )
-    _JACCARD_CACHE.append(rare)
+    _register_persist(rare, _JACCARD_CACHE, release_jaccard_cache)
     sizes = (
         rare.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
@@ -418,7 +482,6 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     slim = ensure_min_parallelism(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
     )
-    release_span_cache()
     windows = (
         rolling_window_hashes(
             slim, "doc_id", text_col, k, maxlen or DEFAULT_MAXLEN
@@ -427,7 +490,7 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         .select("doc_id", "span_start", "win_hash")
         .persist()
     )
-    _SPAN_CACHE.append(windows)
+    _register_persist(windows, _SPAN_CACHE, release_span_cache)
     dup_hashes = (
         windows.groupBy("win_hash")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

@@ -304,3 +304,48 @@ def test_winnow_fingerprints_short_docs(spark):
     # doc 1: 2 windows < w -> no full w-window -> no fingerprints;
     # doc 2: shorter than k -> no windows at all
     assert dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4).count() == 0
+
+
+def test_dedup_cache_scope_owns_persists(spark):
+    """Inside dedup_cache_scope, interleaved operator calls keep BOTH
+    intermediates persisted (the module-global slot would drop the first);
+    scope exit unpersists everything it owns and leaves foreign persists
+    alone (r4 verdict stretch #8)."""
+    docs = spark.createDataFrame(
+        [(i, "tok%d the same shared words here now again ok" % (i % 3))
+         for i in range(12)],
+        ["doc_id", "text"],
+    )
+
+    def cached_rdds():
+        jsc = spark.sparkContext._jsc.sc()
+        return {r.id() for r in jsc.getRDDStorageInfo()}
+
+    outside = docs.limit(5).persist()
+    outside.count()
+    base = cached_rdds()
+
+    with dedup.dedup_cache_scope():
+        a = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
+                                      threshold=0.0, df_cap=50)
+        b = dedup.duplicate_spans(docs, "doc_id", "text", k=3)
+        a.count()
+        b.count()
+        inside = cached_rdds()
+        # both operator intermediates live simultaneously
+        assert len(inside - base) == 2
+    after = cached_rdds()
+    assert after == base          # scope released its two, kept `outside`
+    assert outside.count() == 5   # foreign persist untouched
+    outside.unpersist()
+
+    # legacy path still single-slot: second call drops the first's persist
+    dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
+                              threshold=0.0, df_cap=50).count()
+    one = cached_rdds() - base
+    dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                              threshold=0.0, df_cap=50).count()
+    two = cached_rdds() - base
+    assert len(one) == 1 and len(two) == 1 and one != two
+    dedup.release_jaccard_cache()
+    dedup.release_span_cache()
