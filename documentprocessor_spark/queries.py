@@ -2265,33 +2265,45 @@ _ORACLE_REGION = """
 
 def q_top_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-with-priority (M3 keep-highest-confidence analog,
-    layoutlmv3.py:498-500): per supplier keep the top-revenue part."""
+    layoutlmv3.py:498-500): per supplier keep the top-revenue part.
+    Revenue rounds in EXACT integer arithmetic ((x + 50) // 100 of the
+    1e-4-dollar units, the proven tpch_q10 discipline) — round(double, 2)
+    lands on half-cent exact values where Spark (shortest-repr HALF_UP)
+    and DuckDB (raw-binary) disagree; red at sf1 until the r5 fix, green
+    at sf0.01/0.1 only because no half-cent sum happened to surface there.
+    Ranking runs on the same exact cents (monotone with the emitted
+    revenue)."""
     li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = F.floor((F.sum(_disc_price_cents()) + 50) / 100)
     rev = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.round(F.sum(_disc_price_cents()) / 10000.0, 2).alias("revenue")
+        rev_cents.alias("rev_cents")
     )
     w = Window.partitionBy("l_suppkey").orderBy(
-        F.col("revenue").desc(), F.col("l_partkey").asc()
+        F.col("rev_cents").desc(), F.col("l_partkey").asc()
     )
     return (
         rev.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("l_suppkey", "l_partkey", "revenue")
+        .select(
+            "l_suppkey", "l_partkey",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+        )
     )
 
 
 _ORACLE_TOP_PART = """
     with rev as (
         select l_suppkey, l_partkey,
-            round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) as revenue
+            (sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) + 50) // 100 as rev_cents
         from lineitem group by l_suppkey, l_partkey
     ),
     ranked as (
         select *, row_number() over (
-            partition by l_suppkey order by revenue desc, l_partkey asc
+            partition by l_suppkey order by rev_cents desc, l_partkey asc
         ) as rn from rev
     )
-    select l_suppkey, l_partkey, revenue from ranked where rn = 1
+    select l_suppkey, l_partkey, rev_cents / 100.0 as revenue
+    from ranked where rn = 1
 """
 
 
