@@ -413,3 +413,52 @@ def test_chunk_documents_semantics(spark):
     # map-only plan: no Exchange anywhere
     plan = rows._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_model_inference_plan_is_map_only(spark):
+    """M1 token classification: pruned 2-column scan -> ONE ArrowEvalPython
+    (batched pandas UDF) -> codegen explode, ZERO Exchange — model
+    inference must never shuffle the corpus (r4 verdict #7 plan audit)."""
+    from pyspark.sql import functions as F
+
+    from documentprocessor_spark.operators.model_infer import (
+        token_classifier_udf)
+
+    docs = spark.createDataFrame(
+        [(1, "invoice total 12.50 from acme corp")], ["doc_id", "text"]
+    )
+    words = F.transform(
+        F.split(F.col("text"), " "), lambda t: F.struct(t.alias("text"))
+    )
+    pred = docs.select(
+        "doc_id",
+        token_classifier_udf(F.col("doc_id").cast("string"), words).alias("p"),
+    )
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("BroadcastExchange") == 0
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_results_readback_agg_plan_single_exchange(spark, tmp_path):
+    """Schema-evolution readback aggregation: mergeSchema scan pruned to
+    the aggregated columns, partial HashAggregate map-side, exactly ONE
+    Exchange on the grouping key (r4 verdict #7 plan audit)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [("en", 10)], ["lang", "n_chars"]
+    ).write.parquet(p + "/a")
+    spark.createDataFrame(
+        [("de", 20, 0.5)], ["lang", "n_chars", "quality"]
+    ).write.parquet(p + "/b")
+    df = (
+        spark.read.option("mergeSchema", True).parquet(p + "/a", p + "/b")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_rows"), F.sum("n_chars").alias("total"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "quality" not in plan.split("ReadSchema")[-1]  # pruned scan

@@ -62,7 +62,9 @@ def join_strategies(df) -> dict[str, int]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    queries_only = "--queries-only" in sys.argv
+    sf_dir = args[0] if args else "/tmp/sf1"
     from documentprocessor_spark.queries import QUERIES
 
     out: dict = {"sf_dir": sf_dir, "queries": {}, "join_strategies": {}}
@@ -75,6 +77,14 @@ def main() -> None:
         if name in JOIN_OBSERVED:
             out["join_strategies"][name] = join_strategies(df)
         spark.catalog.clearCache()
+
+    if queries_only:
+        # sf10 probe mode: the query timings + AQE join observation are the
+        # point; the 10x-corpus extraction/scaling legs are certified by
+        # bench.py and the sf1 probe
+        spark.stop()
+        print(json.dumps(out))
+        return
 
     # --- extraction throughput + one pinned scaling pair on a 10x corpus ---
     import shutil
