@@ -639,6 +639,65 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def cross_doc_line_dedup(df: DataFrame, id_col: str, text_col: str,
+                         min_count: int = 2) -> DataFrame:
+    """RefinedWeb/MassiveText line-wise deduplication (Penedo et al. 2023
+    §3.3 / Rae et al. 2021 repetition removal at line granularity): delete
+    every line whose exact text occurs >= ``min_count`` times across the
+    WHOLE corpus (within-doc repeats included, as in the reference
+    pipelines) — the standard kill for per-site boilerplate lines
+    (cookie banners, nav footers) that survive document-level dedup
+    because their host pages differ.
+
+    Returns (doc_id, clean_text, n_lines_removed); clean_text preserves
+    surviving lines in order, a fully-boilerplate document collapses to
+    ''. Line identity is exact string equality via the module's 60-bit
+    md5 contract (oracle-portable); all lines participate, including
+    empty ones.
+
+    Scale shape: posexplode lines -> groupBy(line_hash) count with
+    map-side combine (the hot-line relation is DISTINCT hashes, so the
+    join back is 1:N with no row explosion; a line in a million docs
+    joins a million rows against ONE build row) -> left_anti -> per-doc
+    reassembly window-free via groupBy + array_sort. Two Exchanges on
+    8-byte keys plus the doc_id reassembly; the line text rides the
+    reassembly shuffle only (it must — it IS the output)."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", _h60(F.col("line")))
+    hot = (
+        lines.groupBy("lh")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+        .select("lh")
+    )
+    kept = lines.join(hot, "lh", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("_n_total"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("_n_total") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long").alias("n_lines_removed"),
+        )
+    )
+
+
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """Portable SimHash: bit j's vote per token = +1 if the first hex char of
     md5(j || ':' || token) is in 0-7, else −1; bit set iff the sum > 0.

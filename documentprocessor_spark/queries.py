@@ -1304,6 +1304,62 @@ _ORACLE_WINNOW = f"""
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style cross-document LINE deduplication
+    (dedup.cross_doc_line_dedup): documents are recut deterministically
+    into 3-token lines (the fixture text is single-line), then every line
+    occurring >= 2 times corpus-wide is deleted — the boilerplate-line
+    kill that document-level dedup misses. Exact-integer line counts,
+    md5-hash line identity, order-preserving reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = ((F.size(toks) + 2) / 3).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
+    )
+    ml = docs.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
+    return dedup.cross_doc_line_dedup(ml, "doc_id", "text", min_count=2)
+
+
+_ORACLE_LINE_DEDUP = """
+    with tok as (select doc_id, string_split(text, ' ') as toks from documents),
+    ml as (
+        select doc_id,
+            array_to_string(list_transform(
+                range((len(toks) + 2) // 3),
+                i -> array_to_string(toks[i * 3 + 1:i * 3 + 3], ' ')
+            ), chr(10)) as text
+        from tok
+    ),
+    lines as (
+        select doc_id, i as pos, ls[i + 1] as line
+        from (select doc_id, string_split(text, chr(10)) as ls from ml),
+             lateral unnest(range(len(ls))) u(i)
+    ),
+    hashed as (
+        select doc_id, pos, line,
+            ('0x' || substr(md5(line), 1, 15))::bigint as lh
+        from lines
+    ),
+    hot as (select lh from hashed group by lh having count(*) >= 2),
+    kept as (
+        select h.doc_id, h.pos, h.line from hashed h
+        where not exists (select 1 from hot where hot.lh = h.lh)
+    ),
+    agg as (
+        select doc_id, string_agg(line, chr(10) order by pos) as clean_text,
+            count(*) as n_kept
+        from kept group by doc_id
+    )
+    select m.doc_id,
+        coalesce(a.clean_text, '') as clean_text,
+        cast(len(string_split(m.text, chr(10))) - coalesce(a.n_kept, 0)
+             as bigint) as n_lines_removed
+    from ml m left join agg a using (doc_id)
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion dedup (dedup.incremental_dedup): even doc_ids
     play the already-ingested corpus (its persisted hash + band index),
@@ -4805,6 +4861,9 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "chunk_documents": q_chunk_documents,
     "winnow_fingerprints": q_winnow_fingerprints,
+    # NEW in round 5: RefinedWeb cross-document line dedup (displaces the
+    # r04-certified embedding_near_dup to the tail)
+    "line_dedup": q_line_dedup,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
     # top directive): the three r3 local-only rows, plus minhash signatures
     # whose operator changed this round (numeric bigint minhash — must
@@ -4828,7 +4887,6 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
-    "embedding_near_dup": q_embedding_near_dup,
     # --- tail --- (position 51+): each op here is either certified by
     # another in-window row (blas/lsh variants, S3 base64 twin, h1-h6
     # kernels inside the in-window flagship pipeline row), or a past green
@@ -4872,6 +4930,10 @@ QUERIES = {
     # row): s1_s2_binary_scan is TRIPLE-certified (green driver rows r02,
     # r03 AND r04 with the scan code unchanged since r02).
     "s1_s2_binary_scan": q_s1_s2_binary_scan,
+    # Rotated OUT in round 5 for the new line_dedup row: r04-certified,
+    # sf1-green this round, operator unchanged; its LSH machinery is also
+    # exercised by the in-window curate/minhash rows
+    "embedding_near_dup": q_embedding_near_dup,
     # exact dedup also runs inside the in-window curate_documents plan
     "dedup_exact": q_dedup_exact,
     # O6 subword tokenization's box-inherit pattern is also pinned by the
@@ -4903,6 +4965,7 @@ ORACLES = {
     "incremental_dedup": _ORACLE_INCREMENTAL,
     "chunk_documents": _ORACLE_CHUNKS,
     "winnow_fingerprints": _ORACLE_WINNOW,
+    "line_dedup": _ORACLE_LINE_DEDUP,
     "o1_ocr_roundtrip": _ORACLE_O1,
     "o4_normalize_boxes": _ORACLE_O4,
     "o6_subword_tokens": _ORACLE_O6,

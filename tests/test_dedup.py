@@ -349,3 +349,39 @@ def test_dedup_cache_scope_owns_persists(spark):
     assert len(one) == 1 and len(two) == 1 and one != two
     dedup.release_jaccard_cache()
     dedup.release_span_cache()
+
+
+def test_cross_doc_line_dedup_kills_boilerplate_lines(spark):
+    """Lines occurring >= min_count times corpus-wide vanish (within-doc
+    repeats count, as in RefinedWeb); survivors keep order; a fully-
+    boilerplate doc collapses to ''."""
+    docs = spark.createDataFrame(
+        [(1, "cookie banner\nreal content one\nnav footer"),
+         (2, "cookie banner\nother content two\nnav footer"),
+         (3, "cookie banner\nnav footer"),
+         (4, "solo line\nsolo line\nunique middle"),  # within-doc repeat
+         (5, "totally unique document line")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["clean_text"], r["n_lines_removed"])
+           for r in dedup.cross_doc_line_dedup(
+               docs, "doc_id", "text", min_count=2).collect()}
+    assert out[1] == ("real content one", 2)
+    assert out[2] == ("other content two", 2)
+    assert out[3] == ("", 2)
+    assert out[4] == ("unique middle", 2)  # the within-doc pair dies too
+    assert out[5] == ("totally unique document line", 0)
+
+
+def test_cross_doc_line_dedup_min_count_threshold(spark):
+    """min_count=3: a line in only two docs survives."""
+    docs = spark.createDataFrame(
+        [(1, "twice line\na"), (2, "twice line\nb"),
+         (3, "triple\nc"), (4, "triple\nd"), (5, "triple\ne")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["clean_text"]
+           for r in dedup.cross_doc_line_dedup(
+               docs, "doc_id", "text", min_count=3).collect()}
+    assert out[1] == "twice line\na" and out[2] == "twice line\nb"
+    assert out[3] == "c" and out[4] == "d" and out[5] == "e"
