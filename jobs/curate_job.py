@@ -23,6 +23,10 @@ else on the original text joined back by id):
 - ``--winnow-k K [--winnow-w W]`` → <output>/fingerprints — MOSS
   winnowing fingerprints (operators.dedup.winnow_fingerprints), the
   compact per-doc signature table downstream overlap tooling joins on.
+- ``--line-dedup-min-count N`` → <output>/line_deduped — RefinedWeb
+  line-wise boilerplate kill (operators.dedup.cross_doc_line_dedup)
+  over the survivor texts; chunking/winnowing run on the line-deduped
+  text when this stage is active.
 """
 
 from __future__ import annotations
@@ -57,6 +61,9 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
                              "winnowing, k-token shingles)")
     parser.add_argument("--winnow-w", type=int, default=4,
                         help="winnowing window in shingles (default 4)")
+    parser.add_argument("--line-dedup-min-count", type=int, default=None,
+                        help="also write <output>/line_deduped (drop lines "
+                             "occurring >= N times corpus-wide)")
     args = parser.parse_args(argv)
 
     from documentprocessor_spark.plans.curate import (
@@ -103,7 +110,8 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
         spark.read.parquet(args.input).count()
     )
     extra = {}
-    if args.chunk_tokens is not None or args.winnow_k is not None:
+    if (args.chunk_tokens is not None or args.winnow_k is not None
+            or args.line_dedup_min_count is not None):
         from pyspark.sql import functions as F
 
         curated = spark.read.parquet(dest)
@@ -121,6 +129,19 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
                         F.col(args.text_col).alias("text"))
                 .join(curated.select("doc_id"), "doc_id", "left_semi")
             )
+        if args.line_dedup_min_count is not None:
+            from documentprocessor_spark.operators.dedup import (
+                cross_doc_line_dedup)
+
+            cross_doc_line_dedup(
+                texts, "doc_id", "text",
+                min_count=args.line_dedup_min_count,
+            ).write.mode("overwrite").parquet(f"{args.output}/line_deduped")
+            deduped = spark.read.parquet(f"{args.output}/line_deduped")
+            extra["n_line_deduped"] = deduped.count()
+            # downstream chunk/winnow stages consume the cleaned text
+            texts = deduped.select("doc_id",
+                                   F.col("clean_text").alias("text"))
         if args.chunk_tokens is not None:
             from documentprocessor_spark.operators.packing import (
                 chunk_documents)

@@ -437,3 +437,32 @@ def test_curate_job_cli_chunk_and_winnow_stages(spark, tmp_path, capsys):
     assert got_fps.count() == stats["n_fingerprints"] == want_fps.count() > 0
     assert (got_fps.exceptAll(want_fps).count() == 0
             and want_fps.exceptAll(got_fps).count() == 0)
+
+
+def test_curate_job_cli_line_dedup_stage(spark, tmp_path, capsys):
+    """--line-dedup-min-count writes <output>/line_deduped over survivors
+    and feeds the cleaned text into the chunk stage."""
+    import json
+
+    from jobs.curate_job import main
+
+    docs = spark.createDataFrame(
+        [(1, "shared banner line\nunique body one two three four five"),
+         (2, "shared banner line\nother body six seven eight nine ten"),
+         (3, "completely different document body with its own words here")],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    main(["--input", src, "--output", out, "--min-quality", "0.0",
+          "--line-dedup-min-count", "2", "--chunk-tokens", "4"],
+         stop_session=False)
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_line_deduped"] == stats["rows_kept"]
+    cleaned = {r["doc_id"]: r["clean_text"] for r in
+               spark.read.parquet(out + "/line_deduped").collect()}
+    assert all("shared banner line" not in t for t in cleaned.values())
+    # chunks built FROM the cleaned text: no chunk contains the banner
+    chunks = spark.read.parquet(out + "/chunks").collect()
+    assert chunks and all("banner" not in c["chunk_text"] for c in chunks)
