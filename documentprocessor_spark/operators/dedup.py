@@ -792,3 +792,100 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
         )
         .distinct()
     )
+
+
+# --------------------------------------------------------- bloom pre-filter
+
+def bloom_bit_positions(hash_col: Column, m_bits: int,
+                        n_hashes: int) -> Column:
+    """The ``n_hashes`` Bloom bit positions of a hex content hash:
+    position_j = _h60(hash || '#' || j) % m_bits. Built on the module's
+    portable 60-bit md5-prefix key, so a DuckDB oracle reproduces every
+    position bit-for-bit; m_bits nonneg-mod of a nonneg 60-bit int needs
+    no pmod on either engine."""
+    return F.array(*[
+        (_h60(F.concat_ws("#", hash_col, F.lit(str(j)))) % m_bits)
+        .cast("int")
+        for j in range(n_hashes)
+    ])
+
+
+def bloom_prefilter_dedup(delta: DataFrame, index_hashes: DataFrame,
+                          id_col: str, text_col: str,
+                          m_bits: int = 1 << 20,
+                          n_hashes: int = 4) -> DataFrame:
+    """Bloom pre-filter in front of continuous-ingestion EXACT dedup — the
+    classic crawl membership filter (Heritrix's already-seen set, Bloom
+    1970): the historical index is summarized as the DISTINCT set-bit
+    relation of a Bloom filter over its content hashes, and only delta
+    documents whose ``n_hashes`` probe positions are ALL set ("bloom
+    candidates") pay the full-index confirmation join. Everything else is
+    definitely new by Bloom's no-false-negative guarantee.
+
+    Returns (doc_id, bloom_candidate, drop_reason): drop_reason 'exact'
+    for confirmed duplicates, NULL for keeps. bloom_candidate=1 with NULL
+    drop_reason is a measured false positive — the operator's output makes
+    the filter's FP rate directly observable.
+
+    Scale shape (100 TB): the set-bit relation is ONE pass over the index
+    (explode n_hashes positions -> distinct, <= m_bits rows = m_bits/8
+    bytes of effective state however large the index grows) and is
+    broadcast to the delta probe, so the probe is map-side with zero
+    Exchange on the delta; only the candidate sliver (true dups + the
+    m/n-tunable FP rate) reaches the exact-confirm join, whose candidate
+    hash set is broadcast so the 10^12-row historical index streams
+    without shuffling. Complements ``incremental_dedup`` (which broadcasts
+    the whole delta key-set): the Bloom summary stays small even when the
+    DELTA outgrows the broadcast threshold."""
+    set_bits = index_hashes.select(
+        F.explode(
+            bloom_bit_positions(F.col("content_hash"), m_bits, n_hashes)
+        ).alias("bit_pos")
+    ).distinct()
+    d = delta.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
+    )
+    probes = d.select(
+        "doc_id",
+        F.explode(
+            bloom_bit_positions(F.col("content_hash"), m_bits, n_hashes)
+        ).alias("bit_pos"),
+    )
+    cand = (
+        probes.join(F.broadcast(set_bits), "bit_pos")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_set"))
+        .where(F.col("n_set") == n_hashes)
+        .select("doc_id")
+    )
+    confirmed = (
+        index_hashes.join(
+            F.broadcast(
+                d.join(F.broadcast(cand), "doc_id")
+                .select("content_hash")
+                .distinct()
+            ),
+            "content_hash",
+        )
+        .select("content_hash")
+        .distinct()
+    )
+    return (
+        d.join(
+            F.broadcast(cand.withColumn("_cand", F.lit(True))),
+            "doc_id", "left",
+        )
+        .join(
+            F.broadcast(confirmed.withColumn("_dup", F.lit(True))),
+            "content_hash", "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_cand"), F.lit(False))
+            .cast("int").alias("bloom_candidate"),
+            F.when(F.col("_dup"), F.lit("exact"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("drop_reason"),
+        )
+    )

@@ -1373,6 +1373,23 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filtered exact dedup (dedup.bloom_prefilter_dedup): the
+    index/delta split deliberately OVERLAPS (index = doc_id%3!=0, delta =
+    doc_id%5==0) so delta docs also present in the index guarantee true
+    'exact' hits through the confirm join, and m_bits=1024 is small for
+    gate sf so the false-positive path (candidate with NULL drop_reason)
+    is exercised too; the oracle reproduces every probe position
+    bit-for-bit via the shared 60-bit md5-prefix key."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    ih, _ = dedup.build_dedup_index(old, "doc_id", "text")
+    return dedup.bloom_prefilter_dedup(
+        delta, ih, "doc_id", "text", m_bits=1024, n_hashes=4
+    )
+
+
 _ORACLE_INCREMENTAL = """
     with old as (select * from documents where doc_id % 2 = 0),
     newd as (select * from documents where doc_id % 2 = 1),
@@ -1425,6 +1442,44 @@ _ORACLE_INCREMENTAL = """
     from newd n
     left join exact_hits e on n.doc_id = e.doc_id
     left join near_hits h on n.doc_id = h.doc_id
+"""
+
+
+_ORACLE_BLOOM = """
+    with old as (select * from documents where doc_id % 3 != 0),
+    newd as (select * from documents where doc_id % 5 = 0),
+    ih as (select distinct sha256(text) as content_hash from old),
+    js as (select unnest(range(4)) as j),
+    set_bits as (
+        select distinct cast(
+            ('0x' || substr(md5(content_hash || '#' || cast(j as varchar)),
+                            1, 15))::bigint % 1024 as int) as bit_pos
+        from ih cross join js
+    ),
+    d as (select doc_id, sha256(text) as content_hash from newd),
+    probes as (
+        select doc_id, cast(
+            ('0x' || substr(md5(content_hash || '#' || cast(j as varchar)),
+                            1, 15))::bigint % 1024 as int) as bit_pos
+        from d cross join js
+    ),
+    cand as (
+        select p.doc_id from probes p
+        join set_bits using (bit_pos)
+        group by p.doc_id having count(*) = 4
+    ),
+    confirmed as (
+        select distinct d.content_hash from d
+        join cand using (doc_id)
+        where d.content_hash in (select content_hash from ih)
+    )
+    select d.doc_id,
+        cast(case when c.doc_id is not null then 1 else 0 end as int)
+            as bloom_candidate,
+        case when f.content_hash is not null then 'exact' end as drop_reason
+    from d
+    left join cand c on d.doc_id = c.doc_id
+    left join confirmed f on d.content_hash = f.content_hash
 """
 
 
@@ -3332,7 +3387,15 @@ def q_s1_s2_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import shutil as _shutil
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # FIXTURE_CAP bounds the driver-side file writes: a no-op at the gate
+    # and bench SFs (doc_id < 5000 covers all of sf0.01/sf0.1), it caps the
+    # fixture at 5000 docs for sf1+ so the query stays runnable at any sf
+    # without a driver-side 100k-file write (oracle carries the same cap)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _FIXTURE_CAP)
+        .select("doc_id", "text")
+    )
     # cache key carries a CONTENT fingerprint (doc count + order-insensitive
     # sha of every (doc_id, text)), and the marker is only trusted if the
     # html file count still matches — a stale dir from a different dataset
@@ -3369,11 +3432,15 @@ def q_s1_s2_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fixture-writer queries (s1_s2, warc_ingest) collect their documents to
+# write scan files from the driver; the cap keeps that bounded at any sf.
+_FIXTURE_CAP = 5000
+
 _ORACLE_S1_S2 = """
     select doc_id,
         octet_length(encode('<p>' || text || '</p>')) as n_bytes,
         sha256('<p>' || text || '</p>') as content_sha
-    from documents
+    from documents where doc_id < 5000
 """
 
 
@@ -3551,7 +3618,11 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.warc import read_warc, write_warc
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _FIXTURE_CAP)  # same cap as s1_s2: bounds
+        .select("doc_id", "text")               # the driver-side WARC write
+    )
     n_docs = docs.count()
     warc_dir = (
         tempfile.gettempdir()
@@ -3612,7 +3683,7 @@ _ORACLE_WARC = """
             as n_bytes,
         sha256('<html><body><p>' || text || '</p></body></html>')
             as content_sha
-    from documents
+    from documents where doc_id < 5000
 """
 
 
@@ -4862,8 +4933,11 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "winnow_fingerprints": q_winnow_fingerprints,
     # NEW in round 5: RefinedWeb cross-document line dedup (displaces the
-    # r04-certified embedding_near_dup to the tail)
+    # r04-certified embedding_near_dup to the tail) and Bloom pre-filtered
+    # continuous-ingestion dedup (displaces the triple-certified
+    # warc_ingest — green r02+r03+r04 — to the tail)
     "line_dedup": q_line_dedup,
+    "bloom_incremental_dedup": q_bloom_incremental_dedup,
     # rotated IN for round 4 (never driver-certified before; the r03 verdict's
     # top directive): the three r3 local-only rows, plus minhash signatures
     # whose operator changed this round (numeric bigint minhash — must
@@ -4884,7 +4958,6 @@ QUERIES = {
     "h10_h11_quality": q_h10_h11_quality,
     "p_ops_filter_chain": q_p_ops_filter_chain,
     "multimodal_features": q_multimodal_features,
-    "warc_ingest": q_warc_ingest,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "minhash_band_pairs": q_minhash_band_pairs,
     # --- tail --- (position 51+): each op here is either certified by
@@ -4934,6 +5007,9 @@ QUERIES = {
     # sf1-green this round, operator unchanged; its LSH machinery is also
     # exercised by the in-window curate/minhash rows
     "embedding_near_dup": q_embedding_near_dup,
+    # Rotated OUT in round 5 for the new bloom_incremental_dedup row:
+    # TRIPLE-certified (green r02+r03+r04), WARC reader code unchanged
+    "warc_ingest": q_warc_ingest,
     # exact dedup also runs inside the in-window curate_documents plan
     "dedup_exact": q_dedup_exact,
     # O6 subword tokenization's box-inherit pattern is also pinned by the
@@ -4963,6 +5039,7 @@ ORACLES = {
     "url_blocklist": _ORACLE_URL_BLOCKLIST,
     "temperature_sample": _ORACLE_TEMPERATURE,
     "incremental_dedup": _ORACLE_INCREMENTAL,
+    "bloom_incremental_dedup": _ORACLE_BLOOM,
     "chunk_documents": _ORACLE_CHUNKS,
     "winnow_fingerprints": _ORACLE_WINNOW,
     "line_dedup": _ORACLE_LINE_DEDUP,

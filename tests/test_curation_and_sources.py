@@ -466,3 +466,51 @@ def test_curate_job_cli_line_dedup_stage(spark, tmp_path, capsys):
     # chunks built FROM the cleaned text: no chunk contains the banner
     chunks = spark.read.parquet(out + "/chunks").collect()
     assert chunks and all("banner" not in c["chunk_text"] for c in chunks)
+
+
+def test_ingest_dedup_job_cli_bootstrap_then_probe(spark, tmp_path, capsys):
+    """The continuous-ingestion CLI end to end: first increment bootstraps
+    the index; the second (overlapping) increment drops its re-crawled
+    docs on BOTH probe shapes, and the bloom path reports its FP count."""
+    import json
+
+    from jobs.ingest_dedup_job import main
+
+    inc1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different content about spark engines")],
+        ["doc_id", "text"],
+    )
+    src1 = str(tmp_path / "inc1")
+    inc1.write.parquet(src1)
+    idx = str(tmp_path / "index")
+    main(["--input", src1, "--index", idx, "--output",
+          str(tmp_path / "out1"), "--update-index"], stop_session=False)
+    stats1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats1["probe"] == "bootstrap" and stats1["rows_kept"] == 2
+
+    inc2 = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog"),   # re-crawl
+         (4, "entirely novel words never indexed before today")],
+        ["doc_id", "text"],
+    )
+    src2 = str(tmp_path / "inc2")
+    inc2.write.parquet(src2)
+    main(["--input", src2, "--index", idx, "--output",
+          str(tmp_path / "out2")], stop_session=False)
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["probe"] == "broadcast-delta"
+    kept2 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out2") + "/kept").collect()}
+    assert kept2 == {4}
+
+    main(["--input", src2, "--index", idx, "--output",
+          str(tmp_path / "out3"), "--bloom-m-bits", "65536"],
+         stop_session=False)
+    stats3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats3["probe"] == "bloom"
+    assert stats3["by_reason"].get("exact") == 1
+    assert stats3["bloom_false_positives"] == 0
+    kept3 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out3") + "/kept").collect()}
+    assert kept3 == {4}

@@ -276,6 +276,67 @@ def test_incremental_dedup_annotates_delta(spark):
     assert got == {1: "exact", 3: "near", 5: None}
 
 
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom's defining guarantee: a delta doc whose text IS indexed is
+    always a candidate and always confirmed 'exact' — at ANY m, including
+    an absurdly small saturated filter."""
+    old = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different content about spark engines")],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),     # exact dup
+         (5, "entirely novel words never indexed before today")],
+        ["doc_id", "text"],
+    )
+    ih, _ = dedup.build_dedup_index(old, "doc_id", "text")
+    for m in (16, 1 << 20):
+        got = {r["doc_id"]: (r["bloom_candidate"], r["drop_reason"]) for r in
+               dedup.bloom_prefilter_dedup(
+                   delta, ih, "doc_id", "text", m_bits=m).collect()}
+        assert got[1] == (1, "exact"), m
+        assert got[5][1] is None, m  # never a confirmed dup
+
+
+def test_bloom_prefilter_false_positives_are_flagged_not_dropped(spark):
+    """A tiny filter (m=8, k=4) saturates: novel docs become candidates,
+    but the confirm join must still return NULL drop_reason for them —
+    FPs cost a probe, never a document."""
+    old = spark.createDataFrame(
+        [(i, f"indexed document number {i} with some shared words")
+         for i in range(0, 20, 2)],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [(101, "wholly new text one"), (103, "wholly new text two")],
+        ["doc_id", "text"],
+    )
+    ih, _ = dedup.build_dedup_index(old, "doc_id", "text")
+    rows = dedup.bloom_prefilter_dedup(
+        delta, ih, "doc_id", "text", m_bits=8, n_hashes=4).collect()
+    assert {r["drop_reason"] for r in rows} == {None}
+    # with 40 probes into 8 bits the filter is saturated: both novel docs
+    # are (flagged) false positives
+    assert all(r["bloom_candidate"] == 1 for r in rows)
+
+
+def test_bloom_prefilter_exact_set_matches_plain_incremental(spark):
+    """The Bloom path and the plain broadcast-key path must agree on the
+    'exact' set over a corpus with real dups (the module fixture)."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    ih, ib = dedup.build_dedup_index(old, "doc_id", "text")
+    bloom_exact = {r["doc_id"] for r in
+                   dedup.bloom_prefilter_dedup(delta, ih, "doc_id", "text")
+                   .where(F.col("drop_reason") == "exact").collect()}
+    plain_exact = {r["doc_id"] for r in
+                   dedup.incremental_dedup(delta, ih, ib, "doc_id", "text")
+                   .where(F.col("drop_reason") == "exact").collect()}
+    assert bloom_exact == plain_exact
+
+
 def test_winnow_fingerprints_guarantee_and_density(spark):
     """Winnowing guarantee: two docs sharing a run of >= w+k-1 tokens share
     at least one fingerprint; selection density ~ 2/(w+1)."""

@@ -146,6 +146,14 @@ COMMENTARY = {
         "the broadcast side, so the HISTORICAL index — the big relation — "
         "streams map-side with zero Exchange on it."
     ),
+    "bloom_incremental_dedup": (
+        "Bloom pre-filter (r5): the index collapses to its DISTINCT "
+        "set-bit relation (<= m_bits rows regardless of index size) and "
+        "BROADCASTS to the delta probe — the delta is probed map-side, "
+        "one Exchange for its per-doc all-bits-set count; the confirm "
+        "join broadcasts the candidate hash sliver so the historical "
+        "index streams with zero Exchange on it."
+    ),
     "ivf_topk": (
         "IVF ANN as joins: the 16-centroid quantizer broadcasts to both "
         "assignment passes (the corpus never shuffles to be indexed); "
