@@ -337,6 +337,19 @@ def test_bloom_prefilter_exact_set_matches_plain_incremental(spark):
     assert bloom_exact == plain_exact
 
 
+def test_bloom_prefilter_plan_all_joins_broadcast(docs_df):
+    """Every join in the bloom plan must be a BroadcastHashJoin (set-bit
+    relation, candidate ids, confirmed hashes are all bounded-small by
+    construction) — a SortMergeJoin would mean the historical index or the
+    delta text is riding a shuffle it never needs."""
+    ih, _ = dedup.build_dedup_index(docs_df, "doc_id", "text")
+    out = dedup.bloom_prefilter_dedup(docs_df, ih, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_winnow_fingerprints_guarantee_and_density(spark):
     """Winnowing guarantee: two docs sharing a run of >= w+k-1 tokens share
     at least one fingerprint; selection density ~ 2/(w+1)."""
