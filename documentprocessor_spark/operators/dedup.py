@@ -42,14 +42,19 @@ def _h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def shingles_col(text: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles of `text` (native, codegen'd):
-    transform over a sequence of start offsets + slice + concat.
+def shingle_transform(toks: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles from a TOKEN-ARRAY column: transform
+    over a sequence of start offsets + slice + concat.
+
+    ``toks`` should be a materialized column (a projected attribute), not
+    an inline ``split(...)`` expression: higher-order-function lambdas are
+    interpreted and re-evaluate captured non-attribute expressions on
+    EVERY element, turning the build O(n_tokens^2) per document —
+    measured 4.5x slower on the shingle stage (r6).
 
     Documents shorter than n tokens yield an empty array — guarded
     explicitly because F.sequence(1, 0) produces the DESCENDING [1, 0] and
     slice(…, 0, n) throws, killing the whole job on one short doc."""
-    toks = F.split(text, " ")
     n_sh = F.size(toks) - F.lit(n - 1)
     return F.when(
         n_sh >= 1,
@@ -62,6 +67,14 @@ def shingles_col(text: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingles_col(text: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
+    """Shingles of a raw text column. Single-expression convenience form:
+    the split re-evaluates per lambda element (see shingle_transform) —
+    operators on a hot path must project the split first and call
+    shingle_transform on the attribute instead."""
+    return shingle_transform(F.split(text, " "), n)
+
+
 def doc_shingles(df: DataFrame, id_col: str, text_col: str,
                  n: int = DEFAULT_SHINGLE_N) -> DataFrame:
     """Long (id, shingle) pairs; text column dropped before the explode so
@@ -70,14 +83,18 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str,
     The projected (id, text) relation is parallelism-rescued first: a
     single-row-group source otherwise serializes the shingle explosion +
     hashing on one core (no-op on well-partitioned inputs — see
-    partitioning.ensure_min_parallelism)."""
+    partitioning.ensure_min_parallelism). The token split is materialized
+    as its own projection so the shingle lambda slices a bound attribute
+    (multi-referenced, so CollapseProject keeps it hoisted) — one split
+    per document, not one per shingle."""
     from ..partitioning import ensure_min_parallelism
 
     slim = ensure_min_parallelism(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     )
+    toks = slim.select("doc_id", F.split(F.col("_t"), " ").alias("_toks"))
     return (
-        slim.select("doc_id", shingles_col(F.col("_t"), n).alias("sh"))
+        toks.select("doc_id", shingle_transform(F.col("_toks"), n).alias("sh"))
         .select("doc_id", F.explode("sh").alias("shingle"))
     )
 
@@ -294,7 +311,10 @@ class DedupCacheScope:
     def release(self) -> None:
         while self._dfs:
             try:
-                self._dfs.pop().unpersist()
+                # blocking so a scope exit is externally observable at
+                # once (the async default races observers of
+                # getRDDStorageInfo — seen as a test flake, r6)
+                self._dfs.pop().unpersist(blocking=True)
             except Exception:  # session already stopped
                 pass
 
@@ -614,17 +634,30 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
             ).alias("cut")
         )
     )
-    toks = F.split(F.col(text_col), " ")
+    # tokens and the surviving-token filter are materialized as projected
+    # attributes: `kept` is O(n_tokens * n_spans) per row and is consumed
+    # twice (re-join + size), and an inline split captured by the
+    # transform lambda would re-evaluate per element (r6 shingle finding).
+    tmp_t, tmp_k = "__dp_cut_toks", "__dp_cut_kept"
+    toks = F.col(tmp_t)
     indexed = F.transform(
         toks, lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
     )
     covered = lambda i: F.exists(  # noqa: E731 — inline predicate
         F.col("cut"), lambda c: (i >= c.s) & (i < c.e)
     )
-    kept = F.filter(indexed, lambda x: ~covered(x.i))
+    kept = F.col(tmp_k)
     return (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
         .join(spans, "doc_id", "left")
+        .withColumn(tmp_t, F.split(F.col(text_col), " "))
+        .withColumn(
+            tmp_k,
+            F.when(
+                F.col("cut").isNotNull(),
+                F.filter(indexed, lambda x: ~covered(x.i)),
+            ),
+        )
         .select(
             "doc_id",
             F.when(

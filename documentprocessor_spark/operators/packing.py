@@ -96,7 +96,15 @@ def chunk_documents(
         raise ValueError(
             f"stride must be a positive int <= chunk_tokens, got {stride!r}"
         )
-    toks = F.split(F.col(text_col), " ")
+    # split materialized as a projected attribute: an inline split captured
+    # by the chunk lambda is re-evaluated on EVERY chunk element (HOF
+    # lambdas interpret their captures per element — the r6 shingle
+    # finding), turning chunking O(n_tokens * n_chunks) on the split alone
+    slim = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     # ceil((n - chunk)/stride) in exact integer math, clamped at >= 0
     n_extra = F.greatest(
@@ -119,7 +127,7 @@ def chunk_documents(
         ),
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"), chunks.alias("cs"))
+        slim.select("doc_id", chunks.alias("cs"))
         .select("doc_id", F.explode("cs").alias("c"))
         .select(
             "doc_id",

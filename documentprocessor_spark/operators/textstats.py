@@ -80,14 +80,48 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(normalized)
 
 
-def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach all text-stat columns in one codegen'd projection."""
-    t = F.col(text_col)
+def _lang_id_from_tokens(toks: Column) -> Column:
+    """lang_id_col over a pre-split token array column."""
+    en = _stopword_hits(toks, EN_STOPWORDS)
+    de = _stopword_hits(toks, DE_STOPWORDS)
+    fr = _stopword_hits(toks, FR_STOPWORDS)
     return (
-        df.withColumn("token_count", token_count_col(t))
-        .withColumn("lang_id", lang_id_col(t))
-        .withColumn("quality_score", quality_score_col(t))
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def _quality_from_tokens(text: Column, toks: Column) -> Column:
+    """quality_score_col with the token split taken from a column."""
+    n_tok = F.size(toks).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    total = F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    stop_ratio = _stopword_hits(toks, EN_STOPWORDS).cast("double") / F.greatest(
+        n_tok, F.lit(1.0)
+    )
+    return F.round(0.5 * (alpha / total) + 0.5 * stop_ratio, 6)
+
+
+def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all text-stat columns in one codegen'd projection.
+
+    The token split is materialized once as its own projection: the five
+    stopword/size consumers would otherwise each re-split the text (HOF
+    arguments are not covered by codegen subexpression elimination)."""
+    t = F.col(text_col)
+    tmp = "__dp_stats_toks"
+    if tmp in df.columns:
+        raise ValueError(f"input already has a column named {tmp}")
+    tk = F.col(tmp)
+    return (
+        df.withColumn(tmp, tokens_col(t))
+        .withColumn("token_count", F.size(tk))
+        .withColumn("lang_id", _lang_id_from_tokens(tk))
+        .withColumn("quality_score", _quality_from_tokens(t, tk))
         .withColumn("fingerprint", fingerprint_col(t))
+        .drop(tmp)
     )
 
 
@@ -118,6 +152,12 @@ def repetition_cols(text: Column) -> dict[str, Column]:
     """
     toks = tokens_col(text)
     bigrams = _bigrams_col(toks)
+    return _repetition_from_bigrams(bigrams)
+
+
+def _repetition_from_bigrams(bigrams: Column) -> dict[str, Column]:
+    """The repetition signals over a bigram-array column (pass a
+    materialized attribute on hot paths — see repetition_stats)."""
     n = F.size(bigrams)
     sorted_bg = F.array_sort(bigrams)
     top_count = F.aggregate(
@@ -153,8 +193,22 @@ def repetition_cols(text: Column) -> dict[str, Column]:
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the repetition-signal columns in one codegen'd projection."""
-    return df.withColumns(repetition_cols(F.col(text_col)))
+    """Attach the repetition-signal columns in one codegen'd projection.
+
+    Tokens and bigrams are materialized as intermediate projections so the
+    three output columns share ONE bigram build (each otherwise replays
+    the transform chain, with the split re-evaluated per bigram inside the
+    lambda — the r6 shingle finding)."""
+    tmp_t, tmp_b = "__dp_rep_toks", "__dp_rep_bigrams"
+    for tmp in (tmp_t, tmp_b):
+        if tmp in df.columns:
+            raise ValueError(f"input already has a column named {tmp}")
+    return (
+        df.withColumn(tmp_t, tokens_col(F.col(text_col)))
+        .withColumn(tmp_b, _bigrams_col(F.col(tmp_t)))
+        .withColumns(_repetition_from_bigrams(F.col(tmp_b)))
+        .drop(tmp_t, tmp_b)
+    )
 
 
 # GPT-2-ish pretokenizer shape, restricted to dialect-portable RE2/Java
@@ -216,16 +270,25 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     the reject-side filter, so kept + rejected would no longer partition
     the input."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    kept = c4_kept_lines_col(text)
-    return df.select(
-        "*",
-        F.array_join(kept, "\n").alias("text_clean"),
-        F.size(kept).alias("n_lines_kept"),
-        (
-            ~F.contains(text, F.lit("{"))
-            & ~F.contains(F.lower(text), F.lit("lorem ipsum"))
-            & (F.size(kept) >= C4_MIN_LINES_PER_DOC)
-        ).alias("c4_keep"),
+    # the kept-lines filter is the expensive expression (per-line word
+    # split inside the lambda): materialize it once, consume it thrice
+    tmp = "__dp_c4_kept"
+    if tmp in df.columns:
+        raise ValueError(f"input already has a column named {tmp}")
+    kept = F.col(tmp)
+    return (
+        df.withColumn(tmp, c4_kept_lines_col(text))
+        .select(
+            "*",
+            F.array_join(kept, "\n").alias("text_clean"),
+            F.size(kept).alias("n_lines_kept"),
+            (
+                ~F.contains(text, F.lit("{"))
+                & ~F.contains(F.lower(text), F.lit("lorem ipsum"))
+                & (F.size(kept) >= C4_MIN_LINES_PER_DOC)
+            ).alias("c4_keep"),
+        )
+        .drop(tmp)
     )
 
 

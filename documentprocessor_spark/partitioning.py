@@ -34,6 +34,11 @@ from pyspark.sql import DataFrame
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    if df.isStreaming:
+        # streaming plans have no executed batch plan to probe (and their
+        # parallelism is governed by the source's maxFilesPerTrigger /
+        # file-split settings, not a one-shot repartition)
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     qe = df._jdf.queryExecution()

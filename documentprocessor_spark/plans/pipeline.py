@@ -54,6 +54,14 @@ def extract_from_pages(
     df = pages.select("url", "html", "text")
     if n_buckets:
         df = df.repartition(n_buckets, F.col("url"))
+    else:
+        # Single-row-group sources plan as one split, serializing the
+        # Python kernel on one core; the rescue repartition is a strict
+        # plan-time no-op on multi-split inputs (partitioning.py), so a
+        # 100 TB scan stays map-only while small exports parallelize.
+        from ..partitioning import ensure_min_parallelism
+
+        df = ensure_min_parallelism(df)
     return fused_extract(df, entry_c=entry_c).select(
         "url",
         "extracted_text",

@@ -1312,13 +1312,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kill that document-level dedup misses. Exact-integer line counts,
     md5-hash line identity, order-preserving reassembly."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # split materialized as a projected attribute: an inline split inside
+    # the transform lambda is re-evaluated per line (O(n_tokens^2)/doc —
+    # the r6 shingle finding)
+    tk = docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    toks = F.col("_toks")
     n_lines = ((F.size(toks) + 2) / 3).cast("int")
     line_arr = F.transform(
         F.sequence(F.lit(0), n_lines - 1),
         lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
     )
-    ml = docs.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
+    ml = tk.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
     return dedup.cross_doc_line_dedup(ml, "doc_id", "text", min_count=2)
 
 
@@ -4376,9 +4380,13 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout and replays the identical predicates with DuckDB list lambdas."""
     from .operators.textstats import c4_clean
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        # split materialized once per doc — inline splits captured by the
+        # line lambda would re-evaluate per line (r6 shingle finding)
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    )
     d = F.col("doc_id")
-    toks = F.split(F.col("text"), " ")
+    toks = F.col("_toks")
     n_lines = F.floor(F.size(toks) / 6).cast("int")
 
     def line(i):

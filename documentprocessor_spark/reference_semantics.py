@@ -450,6 +450,12 @@ def _line_items_fast(words):
     for line in group_lines(words):
         if len(line) < 2:
             continue
+        # digit-free lines can never emit an item (price and quantity
+        # regexes both require a digit, so line_total/unit_price stay None
+        # and the emit guard below rejects the line) — skip the join/
+        # lower/regex/envelope work entirely. Output-identical.
+        if all(isdisjoint(w[TEXT]) for w in line):
+            continue
         line_text = " ".join(w[TEXT] for w in line).lower()
         if skip_search(line_text):
             continue

@@ -49,6 +49,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_BATCH_ROWS)
+        # InferFiltersFromGenerate synthesizes `size(gen)>0 AND
+        # isnotnull(gen)` below every explode/posexplode. Our generators
+        # are expensive interpreted HOF chains (shingle/line/chunk builds),
+        # so the inferred filter re-evaluates the whole generator twice per
+        # input row — and predicate pushdown substitutes it through
+        # projections, re-inlining the hoisted token split below the
+        # exchange. Selectivity of the inferred filter on document corpora
+        # is ~0 (docs shorter than one shingle/window). Measured r6:
+        # minhash 3.58s -> 0.56s, spans 1.47 -> 0.57, winnow 1.05 -> 0.75
+        # at sf0.1; the effect is scale-independent (it is per-row compute
+        # duplication, worst on the widest inputs).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Python-kernel stages want fine-grained scan tasks for load balance:
         # an 8 MB split of ~1 KB pages ≈ 8k docs ≈ 2-3 s of kernel time.
         # (At petabyte scale raise this per-workload; the knob matters more
