@@ -497,10 +497,12 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     shuffles, and the hash work the extra shuffle buys back is k-fold.
     """
     from ..functions.rolling import DEFAULT_MAXLEN, rolling_window_hashes
-    from ..partitioning import ensure_min_parallelism
 
-    slim = ensure_min_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+    # no parallelism rescue here: rolling_window_hashes repartitions the
+    # doc rows by doc_id itself (r6) — which both parallelizes single-split
+    # sources and pre-satisfies its window partitioning
+    slim = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
     )
     windows = (
         rolling_window_hashes(
@@ -797,10 +799,11 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     Exchange; distinct collapses the repeated selections map-side first.
     """
     from ..functions.rolling import DEFAULT_MAXLEN, rolling_window_hashes
-    from ..partitioning import ensure_min_parallelism
 
-    slim = ensure_min_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+    # no parallelism rescue: rolling_window_hashes repartitions by doc_id
+    # itself (r6), pre-satisfying the argmin window's partitioning too
+    slim = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
     )
     hashes = rolling_window_hashes(
         slim, "doc_id", text_col, k, maxlen or DEFAULT_MAXLEN
