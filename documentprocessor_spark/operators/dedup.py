@@ -475,6 +475,12 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     0-based token offset, span_len the token length of the merged range,
     n_windows how many duplicated k-windows the range absorbs.
 
+    CALLER CONTRACT: any document longer than ``maxlen`` tokens fails the
+    whole job fast (raise_error — a silent miss would silently drop its
+    windows). Production curation runs over uncapped crawls must either
+    pre-filter/truncate documents to <= maxlen tokens before this stage
+    or raise ``maxlen`` (hard int64 bound 2**22).
+
     Not a suffix array: the reference algorithm builds a monolithic suffix
     array, which cannot shard. The relational twin hashes every overlapping
     k-token window (Rabin-Karp rolling hash, functions/rolling.py — O(1)
@@ -872,7 +878,17 @@ def bloom_prefilter_dedup(delta: DataFrame, index_hashes: DataFrame,
     hash set is broadcast so the 10^12-row historical index streams
     without shuffling. Complements ``incremental_dedup`` (which broadcasts
     the whole delta key-set): the Bloom summary stays small even when the
-    DELTA outgrows the broadcast threshold."""
+    DELTA outgrows the broadcast threshold.
+
+    Sizing assumptions (r5 advice): the CANDIDATE relations broadcast in
+    the confirm step scale with |delta| x (dup rate + FP rate) — a
+    high-duplication recrawl increment makes them O(|delta|), so the
+    operator assumes the candidate sliver is small relative to executor
+    memory; drop the broadcast hints (let AQE decide) when it is not.
+    And the row-per-set-bit spelling stops broadcasting past m ~ 10^9
+    bits (m ≈ 10·n_index for ~1% FP): at 10^12-doc index scale use a
+    packed bloom_filter_agg/might_contain variant with this relation kept
+    as the oracle twin."""
     set_bits = index_hashes.select(
         F.explode(
             bloom_bit_positions(F.col("content_hash"), m_bits, n_hashes)

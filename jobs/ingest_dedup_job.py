@@ -68,10 +68,21 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> None:
     bands_dir = f"{args.index}/bands"
 
     def _try_read(path):
+        # Missing path => bootstrap mode. Any OTHER read failure (corrupt
+        # parquet, permissions, transient FS error) must fail loudly: the
+        # old bare except silently switched to bootstrap, keeping every
+        # delta doc and — with --update-index — appending alongside the
+        # unreadable index (r5 advice). Path-not-found is detected from
+        # the AnalysisException class so non-local filesystems work too.
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(path)
-        except Exception:
-            return None
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
 
     ih = _try_read(hashes_dir)
     ib = _try_read(bands_dir)

@@ -366,3 +366,28 @@ def test_rolling_window_hashes_match_python_twin(spark, texts, k):
     }
     want = {i: v for i, v in want.items() if v}
     assert got == want
+
+
+def test_rolling_maxlen_boundary_twins_agree(spark):
+    """Both twins draw the maxlen boundary identically (r5 advice found
+    them one row apart): exactly maxlen tokens computes on both sides, one
+    more raises on both sides."""
+    import pytest
+
+    from documentprocessor_spark.functions.rolling import (
+        py_window_hashes, rolling_window_hashes)
+
+    maxlen = 8
+    ok = " ".join(f"t{i}" for i in range(maxlen))
+    over = " ".join(f"t{i}" for i in range(maxlen + 1))
+    df_ok = spark.createDataFrame([(1, ok)], "doc_id long, text string")
+    got = sorted(
+        (r.pos, r.win_hash)
+        for r in rolling_window_hashes(df_ok, "doc_id", "text", 3, maxlen).collect()
+    )
+    assert got == py_window_hashes(ok.split(" "), 3, maxlen)
+    with pytest.raises(ValueError):
+        py_window_hashes(over.split(" "), 3, maxlen)
+    df_over = spark.createDataFrame([(1, over)], "doc_id long, text string")
+    with pytest.raises(Exception, match="exceeds rolling-hash maxlen"):
+        rolling_window_hashes(df_over, "doc_id", "text", 3, maxlen).collect()
