@@ -42,7 +42,12 @@ COMMENTARY = {
         "aggregates; one shuffle on doc_id. The minhash is NUMERIC "
         "(bigint from the md5 prefix) so the agg buffers are primitive: "
         "HashAggregate with map-side partial aggregation on BOTH sides of "
-        "the Exchange — the r03 hex-string form fell back to SortAggregate."
+        "the Exchange — the r03 hex-string form fell back to SortAggregate. "
+        "r6: the token split is a materialized projection (not captured "
+        "inline by the shingle lambda) and the session excludes "
+        "InferFiltersFromGenerate, so the shingle build runs once per "
+        "document instead of O(n_tokens) times — measured 31.3s → 1.7s "
+        "at sf1."
     ),
     "dedup_spans": (
         "ExactSubstr span dedup, count-then-join: window hashes are the "
@@ -52,10 +57,12 @@ COMMENTARY = {
         "−52% at sf0.1. Distinct-doc count partial-aggregates map-side, "
         "the df-cap filter runs BEFORE the join back so the worst "
         "surviving join key is df_cap rows by construction; per-doc "
-        "interval union is one window Exchange on doc_id. All shuffles "
-        "carry 8-byte keys; the leading Exchange is the single-row-group "
-        "parallelism rescue (plan-time no-op on multi-split inputs — "
-        "partitioning.py)."
+        "interval union needs no extra Exchange (doc_id clustering flows "
+        "from the rolling stage through the persisted windows relation). "
+        "r6: the rolling stage repartitions DOC rows by doc_id (~6 "
+        "bytes/token of text) BEFORE the posexplode, so the exploded "
+        "32-byte/token stream never rides an Exchange and the per-doc "
+        "windows sort locally (hash-exchange budget pytest-pinned)."
     ),
     "line_dedup": (
         "RefinedWeb line-wise boilerplate kill: posexplode lines → "
@@ -136,10 +143,12 @@ COMMENTARY = {
     "winnow_fingerprints": (
         "MOSS winnowing over r5 rolling hashes: the rolling prefix-sum "
         "window and the per-w-window argmin share partitioning (doc_id) "
-        "AND sort (pos), so the whole plan still carries a SINGLE "
-        "Exchange (plan-asserted; measured −61% at sf0.1 vs the r4 "
-        "md5-per-window form); the trailing distinct partial-aggregates "
-        "the repeated selections before its shuffle."
+        "AND sort (pos). r6: the doc rows repartition by doc_id BEFORE "
+        "the posexplode, so that single Exchange carries raw text (~6 "
+        "bytes/token) instead of the exploded hash stream, and even the "
+        "trailing distinct's clustering is satisfied by the same "
+        "partitioning — hash-exchange budget pytest-pinned "
+        "(tests/test_dedup.py::test_winnow_plan_windows_add_no_exchange)."
     ),
     "incremental_dedup": (
         "Continuous-ingestion probe: the delta's hash/band key sets build "
