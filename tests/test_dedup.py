@@ -437,8 +437,17 @@ def test_dedup_cache_scope_owns_persists(spark):
         # both operator intermediates live simultaneously
         assert len(inside - base) == 2
     after = cached_rdds()
-    assert after == base          # scope released its two, kept `outside`
-    assert outside.count() == 5   # foreign persist untouched
+    # the scope released ITS two and left no new persists behind. Not
+    # `after == base`: getRDDStorageInfo drops entries whose blocks were
+    # LRU-EVICTED by the counts above, so pre-existing foreign entries
+    # may legitimately vanish from the listing on a busy shared session
+    # (observed flake) — eviction is not an unpersist.
+    assert (inside - base).isdisjoint(after), after
+    assert after <= base, after
+    # foreign persist untouched: an unpersist() would clear the storage
+    # level (is_cached False); eviction does not
+    assert outside.is_cached
+    assert outside.count() == 5
     outside.unpersist()
 
     # legacy path still single-slot: second call drops the first's persist
